@@ -1,0 +1,200 @@
+"""Frame front end: one device program from a stereo pair to a Frame.
+
+TPU-native replacement for Frame::Frame (ref: src/orbslam/Frame.cc:86-175),
+which on the CPU runs segmentation (GPU round-trip), two extraction
+threads, semantic filtering, stereo matching and grid assignment. Here
+the full pipeline — Bayesian SegNet MC sampling, both pyramids, FAST,
+orientation, rBRIEF, semantic gating, stereo association — is a single
+jitted computation; nothing returns to the host until tracking needs
+scalars.
+
+The reference's left/right std::thread split (Frame.cc:126-129) becomes
+a batched [2, L, H, W] pyramid; the semantic keypoint *compaction*
+(SelectSemanticKeys, Frame.cc:177-203) becomes a mask (fixed shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sivo_tpu.config import SystemConfig
+from sivo_tpu.models import segnet as segnet_mod
+from sivo_tpu.ops import fast as fast_ops
+from sivo_tpu.ops import image as image_ops
+from sivo_tpu.ops import orb as orb_ops
+from sivo_tpu.ops import stereo as stereo_ops
+from sivo_tpu.select import semantic as semantic_ops
+
+
+class Frame(NamedTuple):
+    """Padded SoA frame (capacity N = cfg.orb.max_keypoints).
+
+    Mirrors the reference Frame's per-keypoint arrays restricted to the
+    semantic set (ref: Frame.h mvKeysSemantic/mDescriptorsSemantic/
+    mvuRight/mvDepth/mClasses...), as masks over fixed arrays.
+    """
+
+    xy: jnp.ndarray  # (N, 2) level-0 pixel coords
+    level: jnp.ndarray  # (N,) int32 octave
+    angle: jnp.ndarray  # (N,) float32 radians
+    desc_bits: jnp.ndarray  # (N, 256) float32
+    desc_u8: jnp.ndarray  # (N, 32) uint8
+    u_right: jnp.ndarray  # (N,) float32, -1 if no stereo match
+    depth: jnp.ndarray  # (N,) float32, -1 if no stereo match
+    sem_class: jnp.ndarray  # (N,) uint8 class at the keypoint pixel
+    sem_confidence: jnp.ndarray  # (N,)
+    sem_entropy: jnp.ndarray  # (N,) bits
+    valid: jnp.ndarray  # (N,) extracted keypoint
+    semantic: jnp.ndarray  # (N,) valid & static class (the reference's
+    #                          mvKeysSemantic membership)
+    classes_raster: jnp.ndarray  # (H, W) uint8
+    confidence_raster: jnp.ndarray  # (H, W)
+    entropy_raster: jnp.ndarray  # (H, W)
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+
+class FrontendStatics(NamedTuple):
+    """Trace-time constants for the frontend program."""
+
+    spec: image_ops.PyramidSpec
+    budgets: tuple[int, ...]
+    max_keypoints: int
+    ini_th: float
+    min_th: float
+    fx: float
+    bf: float
+    mc_samples: int
+
+
+def make_statics(cfg: SystemConfig) -> FrontendStatics:
+    spec = image_ops.make_pyramid_spec(
+        cfg.camera.height, cfg.camera.width,
+        cfg.orb.n_levels, cfg.orb.scale_factor,
+    )
+    return FrontendStatics(
+        spec=spec,
+        budgets=image_ops.per_level_budgets(cfg.orb.n_features, spec),
+        max_keypoints=cfg.orb.max_keypoints,
+        ini_th=float(cfg.orb.ini_th_fast),
+        min_th=float(cfg.orb.min_th_fast),
+        fx=cfg.camera.fx,
+        bf=cfg.camera.bf,
+        mc_samples=cfg.semantic.mc_samples,
+    )
+
+
+def _extract_keypoints(
+    gray: jnp.ndarray, statics: FrontendStatics
+) -> tuple[orb_ops.Keypoints, jnp.ndarray]:
+    """gray (H, W) -> (Keypoints, blurred canvas)."""
+    raw, blur = image_ops.build_pyramid(gray, statics.spec)
+    # detection region: [EDGE-3, size-(EDGE-3)) like the reference's
+    # minBorderX = EDGE_THRESHOLD - 3 (ref: ORBextractor.cc:758-766)
+    valid_region = image_ops.level_valid_mask(statics.spec, margin=16)
+    kps = orb_ops.extract(
+        raw, blur, valid_region, statics.spec, statics.budgets,
+        statics.max_keypoints, statics.ini_th, statics.min_th,
+    )
+    return kps, blur
+
+
+@functools.partial(jax.jit, static_argnames=("model", "statics"))
+def build_frame(
+    model: segnet_mod.SegNet,
+    params: Any,
+    statics: FrontendStatics,
+    img_left_color: jnp.ndarray,  # (H, W, 3) float 0..255 (BGR order)
+    img_right_gray: jnp.ndarray,  # (H, W) float
+    rng: jnp.ndarray,
+) -> Frame:
+    """The per-frame hot path (ref call stack: SURVEY §3.2)."""
+    # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
+    classes, confidence, entropy = segnet_mod.segment_image(
+        model, params, img_left_color, rng, statics.mc_samples
+    )
+
+    # 2. ORB on both images (ref: Frame.cc:126-129, two CPU threads)
+    gray_l = image_ops.bgr_to_gray(img_left_color)
+    kps_l, blur_l = _extract_keypoints(gray_l, statics)
+    kps_r, blur_r = _extract_keypoints(img_right_gray, statics)
+
+    # 3. semantic gating of left keypoints (ref: Frame.cc:177-203)
+    sem_class, sem_conf, sem_ent = semantic_ops.sample_rasters(
+        classes, confidence, entropy, kps_l.xy
+    )
+    semantic = kps_l.valid & semantic_ops.static_class_mask(sem_class)
+
+    # 4. stereo matching on the semantic set vs all right keypoints
+    #    (ref: Frame.cc:144 — ComputeStereoMatches runs after
+    #    SelectSemanticKeys, on the filtered left set)
+    left_sem = kps_l._replace(valid=semantic)
+    matches = stereo_ops.match(
+        left_sem, kps_r, blur_l, blur_r, statics.spec,
+        statics.fx, statics.bf,
+    )
+
+    return Frame(
+        xy=kps_l.xy,
+        level=kps_l.level,
+        angle=kps_l.angle,
+        desc_bits=kps_l.desc_bits,
+        desc_u8=kps_l.desc_u8,
+        u_right=matches.u_right,
+        depth=matches.depth,
+        sem_class=sem_class,
+        sem_confidence=sem_conf,
+        sem_entropy=sem_ent,
+        valid=kps_l.valid,
+        semantic=semantic,
+        classes_raster=classes,
+        confidence_raster=confidence,
+        entropy_raster=entropy,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def build_frame_nosegnet(
+    statics: FrontendStatics,
+    gray_left: jnp.ndarray,
+    gray_right: jnp.ndarray,
+    classes: jnp.ndarray,
+    confidence: jnp.ndarray,
+    entropy: jnp.ndarray,
+) -> Frame:
+    """Frontend with externally-supplied semantic rasters (for tests and
+    for pipelining segmentation separately from extraction)."""
+    kps_l, blur_l = _extract_keypoints(gray_left, statics)
+    kps_r, blur_r = _extract_keypoints(gray_right, statics)
+    sem_class, sem_conf, sem_ent = semantic_ops.sample_rasters(
+        classes, confidence, entropy, kps_l.xy
+    )
+    semantic = kps_l.valid & semantic_ops.static_class_mask(sem_class)
+    left_sem = kps_l._replace(valid=semantic)
+    matches = stereo_ops.match(
+        left_sem, kps_r, blur_l, blur_r, statics.spec,
+        statics.fx, statics.bf,
+    )
+    return Frame(
+        xy=kps_l.xy,
+        level=kps_l.level,
+        angle=kps_l.angle,
+        desc_bits=kps_l.desc_bits,
+        desc_u8=kps_l.desc_u8,
+        u_right=matches.u_right,
+        depth=matches.depth,
+        sem_class=sem_class,
+        sem_confidence=sem_conf,
+        sem_entropy=sem_ent,
+        valid=kps_l.valid,
+        semantic=semantic,
+        classes_raster=classes,
+        confidence_raster=confidence,
+        entropy_raster=entropy,
+    )
