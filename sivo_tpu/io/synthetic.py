@@ -1,0 +1,241 @@
+"""Synthetic stereo sequence generator with exact ground truth.
+
+The environment has no KITTI data and the reference's CNN weights are
+Git-LFS stubs, so end-to-end correctness is validated on rendered
+sequences with known camera trajectories: a corridor of textured planes
+(ground + walls) rendered into rectified stereo pairs via homographies
+— locally planar like real scenes, so BRIEF patches are view-stable —
+plus per-plane semantic class rasters. ATE against the generator's
+ground truth replaces the KITTI/evo oracle described in SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from sivo_tpu.config import CameraConfig
+
+
+@dataclass
+class Plane:
+    p0: np.ndarray  # (3,) world origin corner
+    e1: np.ndarray  # (3,) extent vector (maps texture x)
+    e2: np.ndarray  # (3,) extent vector (maps texture y)
+    texture: np.ndarray  # (Ht, Wt) float32
+    sem_class: int  # reference Classes id
+
+
+@dataclass
+class SyntheticWorld:
+    cam: CameraConfig
+    planes: list[Plane]
+    background: float = 70.0
+    sky_class: int = 9  # SKY
+
+
+def _make_texture(rng, h, w, smooth=1.0):
+    import cv2
+
+    t = rng.uniform(25, 230, (h, w)).astype(np.float32)
+    if smooth > 0:
+        t = cv2.GaussianBlur(t, (0, 0), smooth)
+    # re-stretch contrast after blur
+    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 200 + 30
+    return t
+
+
+def make_world(
+    cam: CameraConfig,
+    seed: int = 0,
+    length: float = 160.0,
+    half_width: float = 9.0,
+    ground_y: float = 1.6,
+    wall_height: float = 6.0,
+    texel_per_m: int = 8,
+) -> SyntheticWorld:
+    """A corridor along +z: ground (ROAD), two side walls (BUILDING),
+    end wall (BUILDING)."""
+    rng = np.random.default_rng(seed)
+
+    def tex(a_m, b_m):
+        return _make_texture(
+            rng, int(b_m * texel_per_m), int(a_m * texel_per_m)
+        )
+
+    w2 = half_width
+    planes = [
+        # ground: class ROAD (0)
+        Plane(
+            p0=np.array([-w2, ground_y, 0.0]),
+            e1=np.array([2 * w2, 0.0, 0.0]),
+            e2=np.array([0.0, 0.0, length]),
+            texture=tex(2 * w2, length),
+            sem_class=0,
+        ),
+        # left wall: BUILDING (2)
+        Plane(
+            p0=np.array([-w2, ground_y, 0.0]),
+            e1=np.array([0.0, -wall_height, 0.0]),
+            e2=np.array([0.0, 0.0, length]),
+            texture=tex(wall_height, length),
+            sem_class=2,
+        ),
+        # right wall
+        Plane(
+            p0=np.array([w2, ground_y, 0.0]),
+            e1=np.array([0.0, -wall_height, 0.0]),
+            e2=np.array([0.0, 0.0, length]),
+            texture=tex(wall_height, length),
+            sem_class=2,
+        ),
+        # end wall
+        Plane(
+            p0=np.array([-w2, ground_y, length]),
+            e1=np.array([2 * w2, 0.0, 0.0]),
+            e2=np.array([0.0, -wall_height, 0.0]),
+            texture=tex(2 * w2, wall_height),
+            sem_class=2,
+        ),
+    ]
+    return SyntheticWorld(cam=cam, planes=planes)
+
+
+def _render_view(
+    world: SyntheticWorld, Tcw: np.ndarray, right: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render one camera: returns (intensity (H, W), class raster)."""
+    import cv2
+
+    cam = world.cam
+    h, w = cam.height, cam.width
+    K = np.array(
+        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]]
+    )
+    R, t = Tcw[:3, :3].astype(np.float64), Tcw[:3, 3].astype(np.float64)
+    if right:
+        t = t - np.array([cam.baseline, 0.0, 0.0])
+
+    img = np.full((h, w), world.background, np.float32)
+    cls = np.full((h, w), world.sky_class, np.uint8)
+    for pl in world.planes:
+        ht, wt = pl.texture.shape
+        # homography: texture pixel (x, y) -> world p0 + (x/wt)e1 + (y/ht)e2
+        A = np.stack(
+            [pl.e1 / wt, pl.e2 / ht, pl.p0], axis=-1
+        )  # (3, 3) maps [x, y, 1] -> world point
+        M = K @ (R @ A + np.outer(t, [0, 0, 1.0]))
+        # backface/behind-camera handling is covered by masking below
+        warped = cv2.warpPerspective(
+            pl.texture, M, (w, h),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+        )
+        # positive-depth mask: z of warped world points must be > 0
+        Minv_rows = (R @ A + np.outer(t, [0, 0, 1.0]))
+        ones = np.ones((ht, wt), np.float32)
+        zmask = cv2.warpPerspective(
+            ones, M, (w, h), flags=cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+        )
+        # check the actual camera-frame z sign on the warped grid
+        ys, xs = np.mgrid[0:h, 0:w]
+        denom = (
+            Minv_rows[2, 0] * 0 + 1
+        )  # placeholder; z-sign via inverse mapping below
+        Hinv = np.linalg.inv(M)
+        src = Hinv @ np.stack(
+            [xs.ravel(), ys.ravel(), np.ones(h * w)]
+        )
+        sw = src[2]
+        tex_xy = src[:2] / np.where(np.abs(sw) > 1e-12, sw, 1e-12)
+        zc = (
+            Minv_rows[2, 0] * tex_xy[0]
+            + Minv_rows[2, 1] * tex_xy[1]
+            + Minv_rows[2, 2]
+        )
+        valid = (
+            (zmask > 0.5)
+            & (warped >= 0)
+            & (zc.reshape(h, w) > 0.1)
+        )
+        img[valid] = warped[valid]
+        cls[valid] = pl.sem_class
+    return img, cls
+
+
+def forward_trajectory(
+    n_frames: int,
+    speed: float = 1.0,
+    yaw_rate: float = 0.002,
+    seed: int = 1,
+) -> np.ndarray:
+    """(F, 4, 4) ground-truth Tcw sequence: forward motion with gentle
+    yaw and small speed noise (camera convention: z forward)."""
+    rng = np.random.default_rng(seed)
+    Twc = np.eye(4)
+    poses = []
+    yaw = 0.0
+    for _ in range(n_frames):
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+        yaw += yaw_rate * (1.0 + 0.1 * rng.standard_normal())
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        step = R @ np.array(
+            [0, 0, speed * (1 + 0.05 * rng.standard_normal())]
+        )
+        Twc = Twc.copy()
+        Twc[:3, 3] += step
+        Twc[:3, :3] = R
+    return np.stack(poses)
+
+
+def render_sequence(
+    world: SyntheticWorld, poses_cw: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Render all frames: (left (F,H,W), right (F,H,W), classes (F,H,W))."""
+    lefts, rights, clss = [], [], []
+    for T in poses_cw:
+        l, c = _render_view(world, T, False)
+        r, _ = _render_view(world, T, True)
+        lefts.append(l)
+        rights.append(r)
+        clss.append(c)
+    return np.stack(lefts), np.stack(rights), np.stack(clss)
+
+
+def constant_semantics(
+    h: int, w: int, cls: int = 0, confidence: float = 0.99,
+    entropy: float = 0.01,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Uniform static-class rasters for CNN-free pipeline tests."""
+    return (
+        np.full((h, w), cls, np.uint8),
+        np.full((h, w), confidence, np.float32),
+        np.full((h, w), entropy, np.float32),
+    )
+
+
+def semantics_from_classes(
+    classes: np.ndarray, confidence: float = 0.99, entropy: float = 0.01
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Semantic rasters from a rendered class map."""
+    return (
+        classes.astype(np.uint8),
+        np.full(classes.shape, confidence, np.float32),
+        np.full(classes.shape, entropy, np.float32),
+    )
+
+
+def ate_rmse(est_cw: np.ndarray, gt_cw: np.ndarray) -> float:
+    """Absolute trajectory error (RMSE of camera-center distances after
+    first-pose alignment) — the SURVEY §6 parity metric."""
+
+    def centers(T):
+        return np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in T])
+
+    A = np.linalg.inv(gt_cw[0]) @ est_cw[0]
+    est_aligned = np.stack([P @ np.linalg.inv(A) for P in est_cw])
+    ce, cg = centers(est_aligned), centers(gt_cw)
+    return float(np.sqrt(np.mean(np.sum((ce - cg) ** 2, axis=-1))))

@@ -104,6 +104,16 @@ def detect(
       else the corner score. NMS already applied.
     """
     score = corner_score(img)
+    # deterministic plateau tie-break: bias by raster position so flat
+    # score regions yield exactly one NMS winner (the reference's
+    # sequential cv::FAST naturally picks one; a vectorized >= keeps
+    # whole plateaus, which creates near-duplicate descriptors)
+    h, w = img.shape[-2], img.shape[-1]
+    ramp = (
+        jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ) * (0.5 / (h * w))
+    score = score - ramp
     is_nms = nonmax_suppress_3x3(score)
     neg = jnp.float32(-jnp.inf)
     base = jnp.where(valid & is_nms, score, neg)

@@ -69,23 +69,25 @@ def select_keypoints(
     spec: PyramidSpec,
     budgets: tuple[int, ...],
     max_keypoints: int,
-    per_cell: int = 2,
-    cell: int = 32,
+    per_cell: int = 4,
+    cell: int = 16,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Spatially-uniform per-level keypoint selection.
 
-    The reference's DistributeOctTree keeps the single best corner per
-    adaptive quad-tree node until the level budget is met
-    (ref: ORBextractor.cc:544-750). The TPU equivalent: top
-    ``per_cell`` corners per fixed cell, then the level's best
-    ``budget_l`` of those — same spatial-uniformity intent, one fused
-    program, deterministic.
+    The reference's DistributeOctTree subdivides until it has enough
+    nodes, then keeps the best corner per node — *coverage first*, score
+    second (ref: ORBextractor.cc:544-750). The TPU equivalent: top
+    ``per_cell`` corners per fixed cell, then fill each level's budget
+    in rounds — every cell's best corner before any cell's second-best —
+    which matches the octree's spatial-uniformity (and its
+    frame-to-frame *repeatability as a set*, which plain global top-k
+    by score lacks).
 
     Args:
       score_map: (L, Hc, Wc) from fast.detect (-inf = no corner).
 
     Returns (xy_level (M, 2) float level coords, level (M,), score (M,),
-    valid (M,)) with M = max_keypoints, sorted by (level, -score).
+    valid (M,)) with M = max_keypoints, sorted by (level, rank, -score).
     """
     L, hc, wc = score_map.shape
     pad_h = (-hc) % cell
@@ -105,15 +107,24 @@ def select_keypoints(
     cx0 = (cell_idx % ncx) * cell
     y = cy0[None, :, None] + ci // cell
     x = cx0[None, :, None] + ci % cell
+    # coverage-first priority: in-cell rank dominates, then score
+    rank = jnp.broadcast_to(
+        jnp.arange(per_cell)[None, None, :], cv.shape
+    ).astype(jnp.float32)
+    priority = jnp.where(
+        jnp.isfinite(cv), -rank * 1e6 + cv, -jnp.inf
+    )
 
     ncand = ncy * ncx * per_cell
     cv = cv.reshape(L, ncand)
+    priority = priority.reshape(L, ncand)
     y = y.reshape(L, ncand)
     x = x.reshape(L, ncand)
 
-    # per-level top-K with K = max budget (padded; mask by true budget)
+    # per-level top-K by coverage-first priority
     kmax = min(int(max(budgets)), ncand)
-    lv, li = jax.lax.top_k(cv, kmax)  # (L, kmax)
+    lp, li = jax.lax.top_k(priority, kmax)  # (L, kmax)
+    lv = jnp.take_along_axis(cv, li, axis=1)
     ly = jnp.take_along_axis(y, li, axis=1)
     lx = jnp.take_along_axis(x, li, axis=1)
     rank = jnp.arange(kmax)[None, :]

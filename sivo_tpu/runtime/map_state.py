@@ -1,0 +1,248 @@
+"""Map state: fixed-capacity SoA arrays owned by the host orchestrator.
+
+TPU-native replacement for the reference's pointer-graph world
+(ref: src/orbslam/Map.cc, MapPoint.cc, KeyFrame.cc — std::set of
+heap objects under a global mutex). Keyframes and map points live in
+preallocated numpy arrays; covisibility is a sparse count matrix derived
+from the observation table; every device program receives padded slices
+of these arrays.
+
+Single-threaded by design: the reference's 4-thread mutex web
+(SURVEY §2.3) becomes explicit orchestration, with BA overlap coming
+from JAX async dispatch rather than std::thread.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class KeyFrameData:
+    """Per-keyframe keypoint arrays (the Frame snapshot a KeyFrame keeps,
+    ref: KeyFrame.cc:31-103)."""
+
+    frame_id: int
+    timestamp: float
+    xy: np.ndarray  # (N, 2)
+    level: np.ndarray  # (N,)
+    angle: np.ndarray  # (N,)
+    desc_u8: np.ndarray  # (N, 32)
+    desc_bits: np.ndarray  # (N, 256) float32
+    u_right: np.ndarray  # (N,)
+    depth: np.ndarray  # (N,)
+    sem_class: np.ndarray  # (N,)
+    sem_confidence: np.ndarray  # (N,)
+    sem_entropy: np.ndarray  # (N,)
+    semantic: np.ndarray  # (N,) bool
+
+
+class MapState:
+    """Global map store (ref: Map.cc + the observation bookkeeping that
+    lives inside MapPoint/KeyFrame in the reference)."""
+
+    def __init__(
+        self,
+        max_keyframes: int = 2048,
+        max_points: int = 200_000,
+        kp_capacity: int = 2048,
+        n_levels: int = 8,
+        scale_factor: float = 1.2,
+    ):
+        self.max_keyframes = max_keyframes
+        self.max_points = max_points
+        self.kp_capacity = kp_capacity
+        self.n_levels = n_levels
+        self.scale_factor = scale_factor
+
+        K, P = max_keyframes, max_points
+        self.kf_pose = np.zeros((K, 4, 4), np.float32)  # Tcw
+        self.kf_cov = np.zeros((K, 6, 6), np.float32)
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_data: list[KeyFrameData | None] = [None] * K
+        self.n_keyframes = 0
+
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_desc_u8 = np.zeros((P, 32), np.uint8)
+        self.pt_desc_bits = np.zeros((P, 256), np.float32)
+        self.pt_class = np.full(P, 255, np.uint8)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_ref_kf = np.full(P, -1, np.int32)
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        # found/visible ratio counters (ref: MapPoint.cc:263-282)
+        self.pt_visible = np.zeros(P, np.int32)
+        self.pt_found = np.zeros(P, np.int32)
+        self.n_points = 0
+
+        # observation table: rows (kf, pt, kp_index)
+        self._obs_kf: list[int] = []
+        self._obs_pt: list[int] = []
+        self._obs_kp: list[int] = []
+        self._obs_dirty = True
+        self._obs_arr = np.zeros((0, 3), np.int64)
+
+    # -- keyframes --------------------------------------------------------
+
+    def add_keyframe(
+        self, pose: np.ndarray, cov: np.ndarray, data: KeyFrameData
+    ) -> int:
+        k = self.n_keyframes
+        if k >= self.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_pose[k] = pose
+        self.kf_cov[k] = cov
+        self.kf_valid[k] = True
+        self.kf_data[k] = data
+        self.n_keyframes += 1
+        return k
+
+    def set_kf_pose(self, k: int, pose: np.ndarray) -> None:
+        self.kf_pose[k] = pose
+
+    # -- points -----------------------------------------------------------
+
+    def add_points(
+        self,
+        positions: np.ndarray,  # (M, 3) world
+        desc_u8: np.ndarray,
+        desc_bits: np.ndarray,
+        classes: np.ndarray,
+        kf_idx: int,
+        kp_indices: np.ndarray,  # (M,) keypoint slots in the KF
+        levels: np.ndarray,  # (M,) octave of the creating observation
+    ) -> np.ndarray:
+        """Create M map points observed by keyframe ``kf_idx``. Returns
+        their point ids. Normal/scale data follows MapPoint ctor
+        (ref: MapPoint.cc:32-59, UpdateNormalAndDepth 368-411)."""
+        m = len(positions)
+        ids = np.arange(self.n_points, self.n_points + m)
+        if self.n_points + m > self.max_points:
+            raise RuntimeError("map point capacity exceeded")
+        cam_center = self.kf_camera_center(kf_idx)
+        d = positions - cam_center
+        dist = np.linalg.norm(d, axis=-1) + 1e-9
+        sf = self.scale_factor
+        # ref: MapPoint.cc:55-58 — max dist = dist * scale[level],
+        # min = max / scale[nlevels-1]
+        level_sf = sf ** levels.astype(np.float32)
+        max_dist = dist * level_sf
+        min_dist = max_dist / (sf ** (self.n_levels - 1))
+        self.pt_pos[ids] = positions
+        self.pt_normal[ids] = d / dist[:, None]
+        self.pt_min_dist[ids] = 0.8 * min_dist
+        self.pt_max_dist[ids] = 1.2 * max_dist
+        self.pt_desc_u8[ids] = desc_u8
+        self.pt_desc_bits[ids] = desc_bits
+        self.pt_class[ids] = classes
+        self.pt_valid[ids] = True
+        self.pt_ref_kf[ids] = kf_idx
+        self.pt_first_kf[ids] = kf_idx
+        self.n_points += m
+        for pid, kp in zip(ids, kp_indices):
+            self._obs_kf.append(kf_idx)
+            self._obs_pt.append(int(pid))
+            self._obs_kp.append(int(kp))
+        self._obs_dirty = True
+        return ids
+
+    def add_observations(
+        self, kf_idx: int, pt_ids: np.ndarray, kp_indices: np.ndarray
+    ) -> None:
+        for pid, kp in zip(pt_ids, kp_indices):
+            self._obs_kf.append(kf_idx)
+            self._obs_pt.append(int(pid))
+            self._obs_kp.append(int(kp))
+        self._obs_dirty = True
+
+    def remove_point(self, pt_id: int) -> None:
+        """SetBadFlag (ref: MapPoint.cc:201-223) — lazily: observations
+        of invalid points are filtered at query time."""
+        self.pt_valid[pt_id] = False
+
+    def set_point_class_or_kill(
+        self, pt_ids: np.ndarray, classes: np.ndarray
+    ) -> None:
+        """Class-flip deletion (ref: MapPoint.cc:104-111 SetSemanticInfo):
+        a detection disagreeing with the stored class kills the point."""
+        stored = self.pt_class[pt_ids]
+        flip = (stored != 255) & (stored != classes)
+        self.pt_valid[pt_ids[flip]] = False
+        fresh = stored == 255
+        self.pt_class[pt_ids[fresh]] = classes[fresh]
+
+    # -- derived ----------------------------------------------------------
+
+    def observations(self) -> np.ndarray:
+        """(O, 3) int array (kf, pt, kp), filtered to live points/KFs."""
+        if self._obs_dirty:
+            arr = np.array(
+                [self._obs_kf, self._obs_pt, self._obs_kp], np.int64
+            ).T
+            if len(arr) == 0:
+                arr = np.zeros((0, 3), np.int64)
+            self._obs_arr = arr
+            self._obs_dirty = False
+        arr = self._obs_arr
+        if len(arr) == 0:
+            return arr
+        live = self.pt_valid[arr[:, 1]] & self.kf_valid[arr[:, 0]]
+        return arr[live]
+
+    def point_obs_counts(self) -> np.ndarray:
+        counts = np.zeros(self.max_points, np.int32)
+        obs = self.observations()
+        if len(obs):
+            np.add.at(counts, obs[:, 1], 1)
+        return counts
+
+    def covisibility(self, kf_idx: int) -> np.ndarray:
+        """(K,) shared-point counts between ``kf_idx`` and every other
+        keyframe (ref: KeyFrame.cc:327-415 UpdateConnections)."""
+        obs = self.observations()
+        counts = np.zeros(self.n_keyframes, np.int64)
+        if len(obs) == 0:
+            return counts
+        my_pts = set(obs[obs[:, 0] == kf_idx][:, 1].tolist())
+        if not my_pts:
+            return counts
+        mask = np.isin(obs[:, 1], list(my_pts))
+        np.add.at(counts, obs[mask][:, 0], 1)
+        counts[kf_idx] = 0
+        return counts
+
+    def local_keyframes(self, kf_idx: int, max_n: int = 80) -> np.ndarray:
+        """Covisible keyframes ordered by weight (ref: Tracking.cc:
+        1087-1235 UpdateLocalKeyFrames, capped at 80)."""
+        w = self.covisibility(kf_idx)
+        order = np.argsort(-w)
+        order = order[w[order] > 0][: max_n - 1]
+        return np.concatenate([[kf_idx], order]).astype(np.int64)
+
+    def points_seen_by(self, kf_ids: np.ndarray) -> np.ndarray:
+        """Unique live point ids observed by any of the given KFs."""
+        obs = self.observations()
+        if len(obs) == 0:
+            return np.zeros(0, np.int64)
+        mask = np.isin(obs[:, 0], kf_ids)
+        return np.unique(obs[mask][:, 1])
+
+    def kf_camera_center(self, k: int) -> np.ndarray:
+        T = self.kf_pose[k]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def clear(self) -> None:
+        """Full reset (ref: Map.cc:103-121 + Tracking.cc:1398-1435)."""
+        self.kf_valid[:] = False
+        self.pt_valid[:] = False
+        self.kf_data = [None] * self.max_keyframes
+        self.n_keyframes = 0
+        self.n_points = 0
+        self._obs_kf.clear()
+        self._obs_pt.clear()
+        self._obs_kp.clear()
+        self._obs_dirty = True
