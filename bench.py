@@ -1,0 +1,111 @@
+"""End-to-end benchmark: SIVO frames/sec on one TPU chip.
+
+Runs the full per-frame pipeline (Bayesian SegNet MC-dropout semantics,
+ORB stereo front end, entropy-gated tracking with pose LM) at KITTI
+geometry (1024x352, 2000 features, MC=3) on a synthetic corridor
+sequence, and reports steady-state FPS.
+
+Baseline: the KITTI camera rate of 10 FPS that the reference paces to
+(ref: config/kitti/KITTI00-02.yaml:22, src/sivo.cc:115-123) and does
+NOT meet ("does not quite run in real time", README.md:40-42) on an
+i7 + TitanX. vs_baseline = fps / 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from sivo_tpu.config import SystemConfig
+    from sivo_tpu.io import synthetic
+    from sivo_tpu.models import segnet
+    from sivo_tpu.runtime import frame as frame_mod
+    from sivo_tpu.runtime.map_state import MapState
+    from sivo_tpu.runtime.tracking import Tracker
+
+    cfg = SystemConfig()  # KITTI03 defaults: 1024x352, fx=721.5, 2000 feats
+    cfg = dataclasses.replace(
+        cfg,
+        semantic=dataclasses.replace(
+            cfg.semantic, th_entropy_reduction=1.0
+        ),
+    )
+    statics = frame_mod.make_statics(cfg)
+    model = segnet.SegNet(variant="basic")
+    params = segnet.init_params(
+        model, jax.random.key(0), cfg.camera.height, cfg.camera.width
+    )
+
+    n_frames = 24
+    world = synthetic.make_world(
+        cfg.camera, seed=0, half_width=12.0, length=240.0
+    )
+    gt = synthetic.forward_trajectory(n_frames=n_frames, speed=1.1)
+    left, right, clsmaps = synthetic.render_sequence(world, gt)
+    left_color = np.repeat(left[:, :, :, None], 3, axis=-1)
+    # no trained CNN weights exist in this environment (Git-LFS stubs,
+    # BASELINE.md) — the CNN runs at full cost every frame, but the
+    # tracking policy consumes the renderer's ground-truth semantics
+    conf_r = jnp.full(left[0].shape, 0.95, jnp.float32)
+    ent_r = jnp.full(left[0].shape, 0.05, jnp.float32)
+    use_cnn = jnp.asarray(False)
+
+    mp = MapState(
+        max_keyframes=256,
+        max_points=100_000,
+        kp_capacity=cfg.orb.max_keypoints,
+    )
+    tracker = Tracker(cfg=cfg, map=mp)
+
+    def run_frame(i: int) -> None:
+        f = frame_mod.build_frame(
+            model, params, statics,
+            jnp.asarray(left_color[i]),
+            jnp.asarray(right[i]),
+            jax.random.key(i),
+            sem_override=(
+                jnp.asarray(clsmaps[i]), conf_r, ent_r, use_cnn
+            ),
+        )
+        tracker.track(f, timestamp=i * 0.1)
+
+    # warmup: initialize + compile every program variant
+    for i in range(4):
+        run_frame(i)
+
+    t0 = time.time()
+    for i in range(4, n_frames):
+        run_frame(i)
+    # force full sync
+    _ = np.asarray(tracker.last_pose)
+    dt = (time.time() - t0) / (n_frames - 4)
+    fps = 1.0 / dt
+
+    n_lost = sum(1 for r in tracker.trajectory if r.lost)
+    result = {
+        "metric": "kitti_geometry_sivo_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 10.0, 3),
+        "detail": {
+            "frames": n_frames,
+            "lost": n_lost,
+            "keyframes": tracker.map.n_keyframes,
+            "map_points": tracker.map.n_points,
+            "ms_per_frame": round(dt * 1000, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,13 +35,21 @@ class SyntheticWorld:
     sky_class: int = 9  # SKY
 
 
-def _make_texture(rng, h, w, smooth=1.0):
+def _make_texture(rng, h, w):
+    """Fractal (1/f-ish) texture: octaves of smoothed noise so there is
+    structure at every viewing distance, like real scenes — single-scale
+    noise aliases to mush at range and starves the feature tracker."""
     import cv2
 
-    t = rng.uniform(25, 230, (h, w)).astype(np.float32)
-    if smooth > 0:
-        t = cv2.GaussianBlur(t, (0, 0), smooth)
-    # re-stretch contrast after blur
+    t = np.zeros((h, w), np.float32)
+    amp = 1.0
+    for octave in range(5):
+        step = 2 ** octave
+        hh, ww = max(h // step, 2), max(w // step, 2)
+        layer = rng.uniform(-1, 1, (hh, ww)).astype(np.float32)
+        layer = cv2.resize(layer, (w, h), interpolation=cv2.INTER_LINEAR)
+        t += amp * layer
+        amp *= 1.8
     t = (t - t.min()) / (np.ptp(t) + 1e-9) * 200 + 30
     return t
 

@@ -189,8 +189,7 @@ def _lm_iterations(
     return T
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iterations"))
-def optimize_pose(
+def optimize_pose_impl(
     T_init: jnp.ndarray,
     obs: PoseObservations,
     cam: CameraParams,
@@ -244,3 +243,8 @@ def optimize_pose(
         n_inliers=n_in.astype(jnp.int32),
         chi2=chi2_total,
     )
+
+
+optimize_pose = jax.jit(
+    optimize_pose_impl, static_argnames=("cam", "rounds", "iterations")
+)

@@ -113,12 +113,26 @@ def build_frame(
     img_left_color: jnp.ndarray,  # (H, W, 3) float 0..255 (BGR order)
     img_right_gray: jnp.ndarray,  # (H, W) float
     rng: jnp.ndarray,
+    sem_override: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    | None = None,
 ) -> Frame:
-    """The per-frame hot path (ref call stack: SURVEY §3.2)."""
+    """The per-frame hot path (ref call stack: SURVEY §3.2).
+
+    ``sem_override``: optional (classes, confidence, entropy, use_cnn)
+    — when ``use_cnn`` (a traced bool) is False the provided rasters
+    replace the CNN posterior at runtime while the CNN still executes
+    (benchmarking with ground-truth semantics when no trained weights
+    exist; the select is data-dependent so XLA cannot DCE the network).
+    """
     # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
     classes, confidence, entropy = segnet_mod.segment_image(
         model, params, img_left_color, rng, statics.mc_samples
     )
+    if sem_override is not None:
+        o_cls, o_conf, o_ent, use_cnn = sem_override
+        classes = jnp.where(use_cnn, classes, o_cls)
+        confidence = jnp.where(use_cnn, confidence, o_conf)
+        entropy = jnp.where(use_cnn, entropy, o_ent)
 
     # 2. ORB on both images (ref: Frame.cc:126-129, two CPU threads)
     gray_l = image_ops.bgr_to_gray(img_left_color)

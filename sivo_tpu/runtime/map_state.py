@@ -30,7 +30,7 @@ class KeyFrameData:
     level: np.ndarray  # (N,)
     angle: np.ndarray  # (N,)
     desc_u8: np.ndarray  # (N, 32)
-    desc_bits: np.ndarray  # (N, 256) float32
+    desc_bits: np.ndarray | None  # (N, 256) float32, derived on demand
     u_right: np.ndarray  # (N,)
     depth: np.ndarray  # (N,)
     sem_class: np.ndarray  # (N,)
@@ -69,7 +69,6 @@ class MapState:
         self.pt_min_dist = np.zeros(P, np.float32)
         self.pt_max_dist = np.zeros(P, np.float32)
         self.pt_desc_u8 = np.zeros((P, 32), np.uint8)
-        self.pt_desc_bits = np.zeros((P, 256), np.float32)
         self.pt_class = np.full(P, 255, np.uint8)
         self.pt_valid = np.zeros(P, bool)
         self.pt_ref_kf = np.full(P, -1, np.int32)
@@ -110,7 +109,6 @@ class MapState:
         self,
         positions: np.ndarray,  # (M, 3) world
         desc_u8: np.ndarray,
-        desc_bits: np.ndarray,
         classes: np.ndarray,
         kf_idx: int,
         kp_indices: np.ndarray,  # (M,) keypoint slots in the KF
@@ -137,7 +135,6 @@ class MapState:
         self.pt_min_dist[ids] = 0.8 * min_dist
         self.pt_max_dist[ids] = 1.2 * max_dist
         self.pt_desc_u8[ids] = desc_u8
-        self.pt_desc_bits[ids] = desc_bits
         self.pt_class[ids] = classes
         self.pt_valid[ids] = True
         self.pt_ref_kf[ids] = kf_idx
@@ -150,6 +147,44 @@ class MapState:
         self._obs_dirty = True
         return ids
 
+    def mirror_points(
+        self,
+        pt_ids: np.ndarray,  # (M,) device-assigned ids
+        positions: np.ndarray,
+        desc_u8: np.ndarray,
+        classes: np.ndarray,
+        kf_idx: int,
+        kp_indices: np.ndarray,
+        levels: np.ndarray,
+        cam_center: np.ndarray,
+    ) -> None:
+        """Mirror device-created points into the host store (ids were
+        assigned by device_map.add_points)."""
+        m = len(pt_ids)
+        if m == 0:
+            return
+        d = positions - cam_center
+        dist = np.linalg.norm(d, axis=-1) + 1e-9
+        sf = self.scale_factor
+        level_sf = sf ** levels.astype(np.float32)
+        max_dist = dist * level_sf
+        min_dist = max_dist / (sf ** (self.n_levels - 1))
+        self.pt_pos[pt_ids] = positions
+        self.pt_normal[pt_ids] = d / dist[:, None]
+        self.pt_min_dist[pt_ids] = 0.8 * min_dist
+        self.pt_max_dist[pt_ids] = 1.2 * max_dist
+        self.pt_desc_u8[pt_ids] = desc_u8
+        self.pt_class[pt_ids] = classes
+        self.pt_valid[pt_ids] = True
+        self.pt_ref_kf[pt_ids] = kf_idx
+        self.pt_first_kf[pt_ids] = kf_idx
+        self.n_points = max(self.n_points, int(pt_ids.max()) + 1)
+        for pid, kp in zip(pt_ids, kp_indices):
+            self._obs_kf.append(kf_idx)
+            self._obs_pt.append(int(pid))
+            self._obs_kp.append(int(kp))
+        self._obs_dirty = True
+
     def add_observations(
         self, kf_idx: int, pt_ids: np.ndarray, kp_indices: np.ndarray
     ) -> None:
@@ -157,6 +192,24 @@ class MapState:
             self._obs_kf.append(kf_idx)
             self._obs_pt.append(int(pid))
             self._obs_kp.append(int(kp))
+        self._obs_dirty = True
+
+    def erase_observations(self, rows: np.ndarray) -> None:
+        """Remove specific (kf, pt, kp) observation rows (BA outlier
+        erasure, ref: Optimizer.cc:822-870)."""
+        if len(rows) == 0:
+            return
+        arr = np.array(
+            [self._obs_kf, self._obs_pt, self._obs_kp], np.int64
+        ).T
+        bad = set(map(tuple, rows.tolist()))
+        keep = [
+            i for i, r in enumerate(map(tuple, arr.tolist()))
+            if r not in bad
+        ]
+        self._obs_kf = [self._obs_kf[i] for i in keep]
+        self._obs_pt = [self._obs_pt[i] for i in keep]
+        self._obs_kp = [self._obs_kp[i] for i in keep]
         self._obs_dirty = True
 
     def remove_point(self, pt_id: int) -> None:

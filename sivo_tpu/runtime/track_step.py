@@ -1,0 +1,449 @@
+"""The fused per-frame tracking program: ONE device dispatch per frame.
+
+Fuses the reference's entire Track() numeric path
+(ref: src/orbslam/Tracking.cc:229-451 — motion-model matching, pose
+optimization, local-map search, second pose optimization, keyframe
+counters, and the SIVO entropy-reduction selection) into a single
+jitted program. The host receives one compact summary (~100 floats)
+and makes policy decisions; everything big stays on device.
+
+Rationale: the accelerator sits behind a ~30ms round-trip link; the
+reference's design (CPU threads sharing a pointer graph) translated
+naively costs 15+ round trips per frame. One fused program + one fetch
+keeps the 10 FPS budget.
+
+Deliberate divergence from the reference: local-map candidates are the
+frustum-visible live points (device-side top-K compaction) rather than
+the covisible-keyframe point set (Tracking.cc:1087-1235) — a superset
+with the same accept tests; covisibility stays host-side for mapping
+and loop closing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sivo_tpu.geometry import se3
+from sivo_tpu.geometry.projection import (
+    CameraParams,
+    frustum_check,
+    predict_scale,
+    project_stereo,
+    unproject_stereo,
+)
+from sivo_tpu.ops import matching
+from sivo_tpu.optim import pose_lm
+from sivo_tpu.runtime.device_map import DeviceMap, unpack_bits
+from sivo_tpu.runtime.frame import Frame
+from sivo_tpu.select import info as info_ops
+from sivo_tpu.utils.precision import hmat
+
+LOCAL_CAND = 16384  # frustum candidate cap
+
+
+class TrackCarry(NamedTuple):
+    """Device-resident tracking state between frames."""
+
+    pose: jnp.ndarray  # (4, 4) last frame Tcw
+    cov: jnp.ndarray  # (6, 6)
+    velocity: jnp.ndarray  # (4, 4) Tcl
+    has_velocity: jnp.ndarray  # () bool
+    pt_idx: jnp.ndarray  # (N,) int32 last frame's map point per keypoint
+    desc_bits: jnp.ndarray  # (N, 256) last frame descriptors
+    level: jnp.ndarray  # (N,)
+    angle: jnp.ndarray  # (N,)
+    valid: jnp.ndarray  # (N,)
+
+
+class StepResult(NamedTuple):
+    carry: TrackCarry  # next-frame input (already updated)
+    dmap: DeviceMap  # updated counters
+    summary: jnp.ndarray  # (64,) float32 — the ONE per-frame fetch
+    sel_mask: jnp.ndarray  # (N,) entropy-gated new-point mask (KF use)
+    xw: jnp.ndarray  # (N, 3) unprojected world points (KF use)
+    pt_idx: jnp.ndarray  # (N,) int32 final assignment (KF use)
+
+
+# summary vector layout
+S_POSE = slice(0, 16)
+S_COV = slice(16, 52)
+S_OK = 52  # 1.0 if frame tracked
+S_N_TRACKED = 53
+S_N_CLOSE_TRACKED = 54
+S_N_CLOSE_FREE = 55
+S_N_MATCHES_MOTION = 56
+S_N_INLIERS1 = 57
+S_N_INLIERS2 = 58
+S_N_SELECTED = 59
+S_N_SEMANTIC = 60
+S_N_REF = 61  # ref-KF points with >= min_obs observations
+SUMMARY_LEN = 64
+
+
+def _match_motion(
+    carry: TrackCarry,
+    dmap: DeviceMap,
+    frame: Frame,
+    T_pred: jnp.ndarray,
+    cam: CameraParams,
+    scales: jnp.ndarray,
+    th: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Frame-to-frame motion search (ref: ORBmatcher.cc:1278).
+    Returns (pt_idx (N,) int32, n_matches)."""
+    prev_has = (
+        carry.pt_idx >= 0
+    ) & dmap.pt_valid[jnp.clip(carry.pt_idx, 0, dmap.capacity - 1)]
+    prev_pts = dmap.pt_pos[jnp.clip(carry.pt_idx, 0, dmap.capacity - 1)]
+    R, t = T_pred[:3, :3], T_pred[:3, 3]
+    xc = hmat(prev_pts, R.T) + t
+    proj_uvr = project_stereo(cam, xc)
+    tz = carry.velocity[2, 3]
+    baseline = cam.bf / cam.fx
+    res = matching.search_by_projection_frame(
+        carry.desc_bits,
+        prev_has,
+        carry.level,
+        carry.angle,
+        proj_uvr,
+        xc[:, 2],
+        frame.xy,
+        frame.level,
+        frame.angle,
+        frame.desc_bits,
+        frame.u_right,
+        frame.semantic,
+        scales,
+        th,
+        tz > baseline,
+        -tz > baseline,
+    )
+    hit = res.src_for_dst >= 0
+    pt_idx = jnp.where(
+        hit,
+        carry.pt_idx[jnp.clip(res.src_for_dst, 0, len(carry.pt_idx) - 1)],
+        -1,
+    ).astype(jnp.int32)
+    return pt_idx, res.n_matches
+
+
+def _optimize(
+    frame: Frame,
+    pt_idx: jnp.ndarray,
+    dmap: DeviceMap,
+    T_init: jnp.ndarray,
+    cam: CameraParams,
+    scale_factor: float,
+) -> tuple[pose_lm.PoseResult, jnp.ndarray]:
+    has = (pt_idx >= 0) & dmap.pt_valid[
+        jnp.clip(pt_idx, 0, dmap.capacity - 1)
+    ]
+    pts = dmap.pt_pos[jnp.clip(pt_idx, 0, dmap.capacity - 1)]
+    uvr = jnp.concatenate([frame.xy, frame.u_right[:, None]], axis=-1)
+    sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
+    obs = pose_lm.PoseObservations(
+        points=pts,
+        uvr=uvr,
+        sigma2=sigma2,
+        is_stereo=frame.u_right > 0,
+        valid=has,
+    )
+    res = pose_lm.optimize_pose_impl(T_init, obs, cam)
+    pt_out = jnp.where(res.inliers, pt_idx, -1).astype(jnp.int32)
+    return res, pt_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "n_levels"),
+    donate_argnums=(1,),
+)
+def track_step(
+    carry: TrackCarry,
+    dmap: DeviceMap,
+    frame: Frame,
+    th_entropy: jnp.ndarray,  # () current entropy-reduction gate
+    ref_pt_idx: jnp.ndarray,  # (N,) int32 ref-KF keypoint -> point id
+    min_obs: jnp.ndarray,  # () int32 keyframe-policy obs threshold
+    cam: CameraParams,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    motion_th: float = 7.0,
+) -> StepResult:
+    """Full per-frame numeric tracking (see module docstring)."""
+    scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+
+    # ---- prediction (ref: Tracking.cc:711-722) --------------------------
+    T_pred = jnp.where(
+        carry.has_velocity, hmat(carry.velocity, carry.pose), carry.pose
+    )
+    cov_pred = jnp.where(
+        carry.has_velocity,
+        info_ops.propagate_covariance_motion(carry.cov, carry.velocity),
+        carry.cov,
+    )
+
+    # ---- motion-model matching, widened retry (Tracking.cc:729-748) -----
+    pt_idx_a, n_a = _match_motion(
+        carry, dmap, frame, T_pred, cam, scales, motion_th
+    )
+    pt_idx_b, n_b = _match_motion(
+        carry, dmap, frame, T_pred, cam, scales, 2.0 * motion_th
+    )
+    use_wide = n_a < 20
+    pt_idx_m = jnp.where(use_wide, pt_idx_b, pt_idx_a)
+    n_matches = jnp.where(use_wide, n_b, n_a)
+
+    # ---- pose optimization #1 -------------------------------------------
+    res1, pt_idx_m = _optimize(
+        frame, pt_idx_m, dmap, T_pred, cam, scale_factor
+    )
+    ok1 = (n_matches >= 20) & (res1.n_inliers >= 10)
+    T1 = jnp.where(ok1, res1.pose, T_pred)
+
+    # ---- local map: frustum over ALL points, top-K compaction -----------
+    visible, uvr_all, dist_all, view_cos_all = frustum_check(
+        cam, T1, dmap.pt_pos, dmap.pt_normal,
+        dmap.pt_min_dist, dmap.pt_max_dist,
+    )
+    visible = visible & dmap.pt_valid
+    # prefer near points when over capacity
+    prio = jnp.where(visible, -dist_all, -jnp.inf)
+    _, cand = jax.lax.top_k(prio, LOCAL_CAND)
+    cand_visible = visible[cand]
+    cand_bits = unpack_bits(dmap.pt_desc_u8[cand])
+    cand_level = predict_scale(
+        dist_all[cand], dmap.pt_max_dist[cand] / 1.2,
+        scale_factor, n_levels,
+    )
+    # exclude keypoints already matched by the motion model
+    free_kp = frame.semantic & (pt_idx_m < 0)
+    mres = matching.search_by_projection_points(
+        cand_bits,
+        cand_visible,
+        uvr_all[cand],
+        cand_level,
+        view_cos_all[cand],
+        frame.xy, frame.level, frame.desc_bits, frame.u_right,
+        free_kp,
+        scales, th=1.0, nn_ratio=0.8,
+    )
+    hit = mres.src_for_dst >= 0
+    pt_idx_c = jnp.where(
+        hit & (pt_idx_m < 0),
+        cand[jnp.clip(mres.src_for_dst, 0, LOCAL_CAND - 1)].astype(
+            jnp.int32
+        ),
+        pt_idx_m,
+    )
+
+    # ---- pose optimization #2 (TrackLocalMap) ----------------------------
+    res2, pt_idx_f = _optimize(
+        frame, pt_idx_c, dmap, T1, cam, scale_factor
+    )
+    # success = enough local-map inliers (ref: Tracking.cc:813-822);
+    # a failed motion stage (ok1) can be rescued by the local-map stage,
+    # mirroring the reference's TrackReferenceKeyFrame fallback winning
+    ok = res2.n_inliers >= 30
+    T_final = jnp.where(ok, res2.pose, carry.pose)
+    cov_final = jnp.where(ok, res2.covariance, cov_pred)
+    pt_idx_f = jnp.where(ok, pt_idx_f, -1)
+
+    # ---- found/visible counters (MapPoint.cc:263-282) --------------------
+    vis_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
+        jnp.where(cand_visible, cand, dmap.capacity)
+    ].add(1)[:-1]
+    found_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
+        jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
+    ].add(1)[:-1]
+    dmap = dmap._replace(
+        pt_visible=dmap.pt_visible + vis_add,
+        pt_found=dmap.pt_found + found_add,
+    )
+
+    # ---- keyframe policy counters (Tracking.cc:852-874) ------------------
+    close = (
+        (frame.depth > 0)
+        & (frame.depth < 40.0 * cam.bf / cam.fx)
+        & frame.semantic
+    )
+    tracked = pt_idx_f >= 0
+    n_tracked = jnp.sum(tracked)
+    n_close_tracked = jnp.sum(close & tracked)
+    n_close_free = jnp.sum(close & ~tracked)
+
+    # ---- entropy-reduction selection (Tracking.cc:935-1025) --------------
+    Twc = se3.inverse(T_final)
+    xc_kp = unproject_stereo(cam, frame.xy, frame.depth)
+    xw = se3.transform(Twc, xc_kp)
+    sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
+    scores = info_ops.entropy_reduction_stereo(
+        cov_final, xw, sigma2, frame.sem_entropy,
+        cam.fx, cam.fy, cam.bf / cam.fx,
+    )
+    sel_mask = (
+        frame.semantic
+        & (frame.depth > 0)
+        & (scores > th_entropy)
+        & (pt_idx_f < 0)
+    )
+
+    # ---- velocity + next carry (Tracking.cc:352-360) ----------------------
+    velocity = hmat(T_final, se3.inverse(carry.pose))
+    new_carry = TrackCarry(
+        pose=T_final,
+        cov=cov_final,
+        velocity=jnp.where(ok, velocity, jnp.eye(4)),
+        has_velocity=ok,
+        pt_idx=pt_idx_f,
+        desc_bits=frame.desc_bits,
+        level=frame.level,
+        angle=frame.angle,
+        valid=frame.valid,
+    )
+
+    summary = jnp.zeros(SUMMARY_LEN, jnp.float32)
+    summary = summary.at[S_POSE].set(T_final.reshape(-1))
+    summary = summary.at[S_COV].set(cov_final.reshape(-1))
+    summary = summary.at[S_OK].set(ok.astype(jnp.float32))
+    summary = summary.at[S_N_TRACKED].set(n_tracked.astype(jnp.float32))
+    summary = summary.at[S_N_CLOSE_TRACKED].set(
+        n_close_tracked.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_CLOSE_FREE].set(
+        n_close_free.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_MATCHES_MOTION].set(
+        n_matches.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_INLIERS1].set(
+        res1.n_inliers.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_INLIERS2].set(
+        res2.n_inliers.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_SELECTED].set(
+        jnp.sum(sel_mask).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_SEMANTIC].set(
+        jnp.sum(frame.semantic).astype(jnp.float32)
+    )
+    # ref-KF tracked count for the keyframe decision
+    # (ref: Tracking.cc:845-851 TrackedMapPoints(minObs))
+    ref_ok = (ref_pt_idx >= 0) & dmap.pt_valid[
+        jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)
+    ]
+    ref_obs = dmap.pt_obs_count[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
+    n_ref = jnp.sum(ref_ok & (ref_obs >= min_obs))
+    summary = summary.at[S_N_REF].set(n_ref.astype(jnp.float32))
+    return StepResult(
+        carry=new_carry,
+        dmap=dmap,
+        summary=summary,
+        sel_mask=sel_mask,
+        xw=xw,
+        pt_idx=pt_idx_f,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
+def fallback_step(
+    carry: TrackCarry,
+    dmap: DeviceMap,
+    frame: Frame,
+    ref_desc_bits: jnp.ndarray,  # (N, 256) reference KF descriptors
+    ref_angle: jnp.ndarray,
+    ref_pt_idx: jnp.ndarray,  # (N,) int32 ref KF keypoint -> point id
+    th_entropy: jnp.ndarray,
+    cam: CameraParams,
+    scale_factor: float = 1.2,
+) -> StepResult:
+    """Reference-keyframe fallback when motion tracking fails
+    (ref: Tracking.cc:597-639 TrackReferenceKeyFrame; BoW gating
+    replaced by the MXU brute-force with identical accept tests)."""
+    ref_has = (
+        ref_pt_idx >= 0
+    ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
+    m = matching.search_brute_force(
+        ref_desc_bits, ref_has, ref_angle,
+        frame.desc_bits, frame.semantic, frame.angle,
+        nn_ratio=0.7,
+    )
+    hit = m.src_for_dst >= 0
+    pt_idx = jnp.where(
+        hit,
+        ref_pt_idx[jnp.clip(m.src_for_dst, 0, len(ref_pt_idx) - 1)],
+        -1,
+    ).astype(jnp.int32)
+    res, pt_idx = _optimize(
+        frame, pt_idx, dmap, carry.pose, cam, scale_factor
+    )
+    ok = (m.n_matches >= 15) & (res.n_inliers >= 10)
+    T_final = jnp.where(ok, res.pose, carry.pose)
+    cov_final = jnp.where(ok, res.covariance, carry.cov)
+    pt_idx = jnp.where(ok, pt_idx, -1)
+
+    # selection for possible KF insertion
+    Twc = se3.inverse(T_final)
+    xc_kp = unproject_stereo(cam, frame.xy, frame.depth)
+    xw = se3.transform(Twc, xc_kp)
+    sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
+    scores = info_ops.entropy_reduction_stereo(
+        cov_final, xw, sigma2, frame.sem_entropy,
+        cam.fx, cam.fy, cam.bf / cam.fx,
+    )
+    sel_mask = (
+        frame.semantic & (frame.depth > 0) & (scores > th_entropy)
+        & (pt_idx < 0)
+    )
+    velocity = hmat(T_final, se3.inverse(carry.pose))
+    new_carry = TrackCarry(
+        pose=T_final,
+        cov=cov_final,
+        velocity=jnp.where(ok, velocity, jnp.eye(4)),
+        has_velocity=ok,
+        pt_idx=pt_idx,
+        desc_bits=frame.desc_bits,
+        level=frame.level,
+        angle=frame.angle,
+        valid=frame.valid,
+    )
+    close = (
+        (frame.depth > 0) & (frame.depth < 40.0 * cam.bf / cam.fx)
+        & frame.semantic
+    )
+    tracked = pt_idx >= 0
+    summary = jnp.zeros(SUMMARY_LEN, jnp.float32)
+    summary = summary.at[S_POSE].set(T_final.reshape(-1))
+    summary = summary.at[S_COV].set(cov_final.reshape(-1))
+    summary = summary.at[S_OK].set(ok.astype(jnp.float32))
+    summary = summary.at[S_N_TRACKED].set(
+        jnp.sum(tracked).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_CLOSE_TRACKED].set(
+        jnp.sum(close & tracked).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_CLOSE_FREE].set(
+        jnp.sum(close & ~tracked).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_INLIERS2].set(
+        res.n_inliers.astype(jnp.float32)
+    )
+    summary = summary.at[S_N_SELECTED].set(
+        jnp.sum(sel_mask).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_SEMANTIC].set(
+        jnp.sum(frame.semantic).astype(jnp.float32)
+    )
+    return StepResult(
+        carry=new_carry,
+        dmap=dmap,
+        summary=summary,
+        sel_mask=sel_mask,
+        xw=xw,
+        pt_idx=pt_idx,
+    )

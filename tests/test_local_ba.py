@@ -1,0 +1,154 @@
+"""Local BA tests: joint pose+point recovery on a perturbed synthetic
+problem, outlier demotion, gauge fixing, and marginal covariance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sivo_tpu.geometry import se3
+from sivo_tpu.geometry.projection import CameraParams, project_stereo
+from sivo_tpu.optim import local_ba
+
+CAM = CameraParams(
+    fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=250.0,
+    width=640, height=480,
+)
+K, P = 8, 512
+
+
+def make_problem(seed=0, noise=0.2, pose_perturb=0.02,
+                 point_perturb=0.05, outlier_frac=0.0):
+    rng = np.random.default_rng(seed)
+    # ground-truth: cameras along a line, points in front
+    gt_poses = []
+    for k in range(K):
+        xi = np.zeros(6)
+        xi[2] = -0.5 * k  # forward
+        xi[:3] += rng.normal(0, 0.05, 3)
+        gt_poses.append(np.asarray(se3.exp(jnp.asarray(xi, jnp.float32))))
+    gt_poses = np.stack(gt_poses)
+    gt_pts = np.stack(
+        [
+            rng.uniform(-8, 8, P),
+            rng.uniform(-3, 3, P),
+            rng.uniform(8, 30, P),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    obs_kf, obs_pt, obs_uvr = [], [], []
+    for k in range(K):
+        xc = gt_pts @ gt_poses[k][:3, :3].T + gt_poses[k][:3, 3]
+        uvr = np.array(project_stereo(CAM, jnp.asarray(xc)))
+        vis = (
+            (xc[:, 2] > 1)
+            & (uvr[:, 0] > 0) & (uvr[:, 0] < 640)
+            & (uvr[:, 1] > 0) & (uvr[:, 1] < 480)
+        )
+        ids = np.where(vis)[0]
+        obs_kf += [k] * len(ids)
+        obs_pt += ids.tolist()
+        obs_uvr.append(uvr[ids] + rng.normal(0, noise, (len(ids), 3)))
+    obs_uvr = np.concatenate(obs_uvr).astype(np.float32)
+    O = len(obs_kf)
+    n_out = int(outlier_frac * O)
+    if n_out:
+        sel = rng.choice(O, n_out, replace=False)
+        obs_uvr[sel] += rng.uniform(30, 80, (n_out, 3))
+    # cap/pad observations
+    O_cap = 8192
+    pad = O_cap - O
+    obs_valid = np.concatenate([np.ones(O, bool), np.zeros(pad, bool)])
+    obs_kf = np.concatenate([obs_kf, np.zeros(pad)]).astype(np.int32)
+    obs_pt = np.concatenate([obs_pt, np.zeros(pad)]).astype(np.int32)
+    obs_uvr = np.concatenate(
+        [obs_uvr, np.zeros((pad, 3), np.float32)]
+    )
+
+    # perturb non-fixed poses and all points
+    init_poses = gt_poses.copy()
+    for k in range(1, K):
+        xi = rng.normal(0, pose_perturb, 6).astype(np.float32)
+        init_poses[k] = np.asarray(
+            se3.exp(jnp.asarray(xi))
+        ) @ init_poses[k]
+    init_pts = gt_pts + rng.normal(0, point_perturb, gt_pts.shape).astype(
+        np.float32
+    )
+
+    fixed = np.zeros(K, bool)
+    fixed[0] = True  # gauge
+    prob = local_ba.BAProblem(
+        kf_pose=jnp.asarray(init_poses),
+        kf_fixed=jnp.asarray(fixed),
+        kf_valid=jnp.ones(K, bool),
+        pt_pos=jnp.asarray(init_pts),
+        pt_valid=jnp.ones(P, bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uvr=jnp.asarray(obs_uvr),
+        obs_sigma2=jnp.ones(O_cap, jnp.float32),
+        obs_is_stereo=jnp.ones(O_cap, bool),
+        obs_valid=jnp.asarray(obs_valid),
+    )
+    mask_out = np.zeros(O_cap, bool)
+    if n_out:
+        mask_out[sel] = True
+    return prob, gt_poses, gt_pts, mask_out
+
+
+def pose_errors(est, gt):
+    errs = []
+    for k in range(K):
+        d = np.asarray(
+            se3.log(jnp.asarray(np.linalg.inv(gt[k]) @ np.asarray(est[k])))
+        )
+        errs.append(np.abs(d).max())
+    return np.array(errs)
+
+
+def test_ba_recovers_poses_and_points():
+    prob, gt_poses, gt_pts, _ = make_problem(noise=0.1)
+    res = local_ba.local_bundle_adjustment(prob, jnp.int32(K - 1), CAM)
+    errs = pose_errors(np.asarray(res.kf_pose), gt_poses)
+    init_errs = pose_errors(np.asarray(prob.kf_pose), gt_poses)
+    assert errs.max() < 0.2 * init_errs.max(), (errs, init_errs)
+    assert errs.max() < 5e-3, errs
+    pt_err = np.linalg.norm(
+        np.asarray(res.pt_pos) - gt_pts, axis=-1
+    )
+    # 0.1px noise at up to 30m depth bounds stereo triangulation at a
+    # few cm; BA should sit at that noise floor
+    assert np.median(pt_err) < 0.05, np.median(pt_err)
+
+
+def test_ba_gauge_fixed_kf_unchanged():
+    prob, gt_poses, _, _ = make_problem()
+    res = local_ba.local_bundle_adjustment(prob, jnp.int32(1), CAM)
+    np.testing.assert_allclose(
+        np.asarray(res.kf_pose[0]), np.asarray(prob.kf_pose[0]), atol=1e-7
+    )
+
+
+def test_ba_outlier_demotion():
+    prob, gt_poses, gt_pts, mask_out = make_problem(
+        noise=0.1, outlier_frac=0.1
+    )
+    res = local_ba.local_bundle_adjustment(prob, jnp.int32(K - 1), CAM)
+    inl = np.asarray(res.obs_inlier)
+    # outlier observations classified out
+    assert inl[mask_out].mean() < 0.05
+    # poses still recovered
+    errs = pose_errors(np.asarray(res.kf_pose), gt_poses)
+    assert errs.max() < 1e-2, errs
+
+
+def test_ba_marginal_covariance_sane():
+    prob, *_ = make_problem(noise=0.1)
+    res = local_ba.local_bundle_adjustment(prob, jnp.int32(K - 1), CAM)
+    cov = np.asarray(res.newest_cov)
+    assert np.isfinite(cov).all()
+    np.testing.assert_allclose(cov, cov.T, atol=1e-8)
+    ev = np.linalg.eigvalsh(cov)
+    assert (ev > 0).all()
+    # hundreds of stereo observations pin the pose to sub-mm/sub-mrad
+    assert np.trace(cov) < 1e-3, np.trace(cov)
