@@ -36,9 +36,12 @@ class SyntheticWorld:
 
 
 def _make_texture(rng, h, w):
-    """Fractal (1/f-ish) texture: octaves of smoothed noise so there is
-    structure at every viewing distance, like real scenes — single-scale
-    noise aliases to mush at range and starves the feature tracker."""
+    """Realistic texture: fractal (1/f) base — structure at every
+    viewing distance — plus sparse *distinctive* high-contrast elements
+    (filled rectangles/discs at random scales and intensities), because
+    pure self-similar noise is uniquely hostile to BRIEF descriptors
+    (every neighborhood looks alike, so aliased matches survive Hamming
+    gates); real scenes carry discriminative local structure."""
     import cv2
 
     t = np.zeros((h, w), np.float32)
@@ -50,8 +53,22 @@ def _make_texture(rng, h, w):
         layer = cv2.resize(layer, (w, h), interpolation=cv2.INTER_LINEAR)
         t += amp * layer
         amp *= 1.8
-    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 200 + 30
-    return t
+    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 120 + 60
+    # distinctive elements: ~1 per (32px)^2 of texture
+    n_elem = max((h * w) // 1024, 8)
+    for _ in range(n_elem):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        size = int(rng.integers(4, 28))
+        val = float(rng.uniform(10, 250))
+        if rng.random() < 0.5:
+            ang = float(rng.uniform(0, 180))
+            box = cv2.boxPoints(
+                ((float(cx), float(cy)), (float(size), size * 0.6), ang)
+            )
+            cv2.fillPoly(t, [box.astype(np.int32)], val)
+        else:
+            cv2.circle(t, (int(cx), int(cy)), size // 2, val, -1)
+    return np.clip(t, 0, 255)
 
 
 def make_world(

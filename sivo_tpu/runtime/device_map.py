@@ -122,10 +122,20 @@ def observe_points(
     dmap: DeviceMap,
     pt_idx: jnp.ndarray,  # (N,) int32 per-keypoint point id, -1 none
     classes: jnp.ndarray,  # (N,) uint8 current detection at the keypoint
+    desc_u8: jnp.ndarray,  # (N, 32) observing keyframe's descriptors
 ) -> DeviceMap:
-    """Keyframe observation bookkeeping: bump obs counts and apply the
+    """Keyframe observation bookkeeping: bump obs counts, apply the
     class-flip deletion rule (ref: MapPoint.cc:104-111 SetSemanticInfo:
-    disagreeing detection kills the point)."""
+    disagreeing detection kills the point), and refresh the point's
+    distinctive descriptor from the newest observation.
+
+    Descriptor note: the reference recomputes the min-median-Hamming
+    descriptor over ALL observations (ref: MapPoint.cc:284-347
+    ComputeDistinctiveDescriptors); keeping the latest observation's
+    descriptor is the streaming equivalent — it tracks current
+    appearance (scale/viewpoint drift) without storing per-observation
+    descriptor history on device.
+    """
     has = pt_idx >= 0
     idx = jnp.where(has, pt_idx, dmap.capacity)
     obs = dmap.pt_obs_count.at[idx].add(1, mode="drop")
@@ -138,8 +148,9 @@ def observe_points(
     cls = dmap.pt_class.at[jnp.where(fresh, idx, dmap.capacity)].set(
         classes, mode="drop"
     )
+    desc = dmap.pt_desc_u8.at[idx].set(desc_u8, mode="drop")
     return dmap._replace(
-        pt_obs_count=obs, pt_valid=valid, pt_class=cls
+        pt_obs_count=obs, pt_valid=valid, pt_class=cls, pt_desc_u8=desc
     )
 
 

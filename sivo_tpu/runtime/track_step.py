@@ -260,9 +260,18 @@ def track_step(
     found_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
         jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
     ].add(1)[:-1]
+    # refresh tracked points' descriptors with the current view's
+    # (streaming form of ComputeDistinctiveDescriptors,
+    # ref: MapPoint.cc:284-347 — keeps matching robust to appearance
+    # drift between keyframes)
+    desc_idx = jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
+    new_desc = dmap.pt_desc_u8.at[desc_idx].set(
+        frame.desc_u8, mode="drop"
+    )
     dmap = dmap._replace(
         pt_visible=dmap.pt_visible + vis_add,
         pt_found=dmap.pt_found + found_add,
+        pt_desc_u8=new_desc,
     )
 
     # ---- keyframe policy counters (Tracking.cc:852-874) ------------------

@@ -265,12 +265,20 @@ class Tracker:
             and summary[ts.S_N_CLOSE_FREE] > cfg.close_nontracked_min
         )
         max_frames = int(self.cfg.camera.fps)
-        th_ref = cfg.th_ref_ratio if self.map.n_keyframes > 2 else 0.4
+        # ref: Tracking.cc:877-881 — 0.25 below 2 KFs
+        th_ref = cfg.th_ref_ratio if self.map.n_keyframes >= 2 else 0.25
         c1a = fid >= self.last_kf_frame_id + max_frames
         c1b = fid >= self.last_kf_frame_id + cfg.min_frames_between_kf
         c1c = n_tracked < n_ref * 0.25 or need_close
         c2 = (n_tracked < n_ref * th_ref or need_close) and n_tracked > 15
-        return bool((c1a or c1b or c1c) and c2)
+        # cadence guarantee beyond the reference: when the close-point
+        # rule starves (dense maps keep close_tracked above the SIVO 30
+        # threshold) force a refresh every max_frames — between-KF
+        # feature drift otherwise compounds through the velocity loop.
+        # In the reference's sparse-map regime c2 fires first, so this
+        # clause is inert there.
+        c_cadence = c1a and n_tracked > 15
+        return bool(((c1a or c1b or c1c) and c2) or c_cadence)
 
     def _create_new_keyframe(
         self,
@@ -303,7 +311,7 @@ class Tracker:
         # observation bookkeeping + class-flip kills on device
         sem_class_dev = frame.sem_class
         self.dmap = device_map.observe_points(
-            self.dmap, pt_idx, sem_class_dev
+            self.dmap, pt_idx, sem_class_dev, frame.desc_u8
         )
         cam_center = -pose[:3, :3].T @ pose[:3, 3]
         self.dmap, new_ids = device_map.add_points(
