@@ -1,0 +1,209 @@
+"""EPnP + batched RANSAC for relocalization.
+
+TPU-native replacement for PnPsolver (ref: src/orbslam/PnPsolver.cc,
+EPnP after Lepetit et al. + adaptive RANSAC). The reference iterates
+hypotheses sequentially with early exit; RANSAC is embarrassingly
+parallel, so here ALL hypotheses run as one batched program (minimal
+sets -> EPnP -> reprojection inlier counts -> best), a direct win of
+the batch-everything design (SURVEY §7 stage 6).
+
+EPnP per hypothesis: 4 control points (centroid + PCA axes),
+barycentric coordinates, the 12x12 M^T M eigen-decomposition, the
+N=1 beta case with closed-form scale (ref: PnPsolver.cc:669-763 tries
+cases 1-3; case 1 dominates and the final refine subsumes the rest),
+and absolute orientation (Horn) for R, t (ref: PnPsolver.cc:572-630).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sivo_tpu.geometry.projection import CameraParams, project
+from sivo_tpu.utils.precision import hmat
+
+MIN_SET = 6  # points per hypothesis (reference uses 4; 6 is stabler
+#              for the single-beta case and free when batched)
+
+
+class RansacResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) best Tcw
+    inliers: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray  # () int32
+    ok: jnp.ndarray  # () bool
+
+
+def _kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Batched absolute orientation: R, t minimizing ||R src + t - dst||
+    (Horn via SVD). src/dst: (..., M, 3). Returns (..., 4, 4)."""
+    cs = jnp.mean(src, axis=-2, keepdims=True)
+    cd = jnp.mean(dst, axis=-2, keepdims=True)
+    H = hmat(jnp.swapaxes(src - cs, -1, -2), dst - cd)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(hmat(jnp.swapaxes(Vt, -1, -2),
+                              jnp.swapaxes(U, -1, -2)))
+    D = jnp.zeros_like(H)
+    D = D.at[..., 0, 0].set(1.0)
+    D = D.at[..., 1, 1].set(1.0)
+    D = D.at[..., 2, 2].set(det)
+    R = hmat(
+        jnp.swapaxes(Vt, -1, -2), hmat(D, jnp.swapaxes(U, -1, -2))
+    )
+    t = cd[..., 0, :] - (R @ cs[..., 0, :, None])[..., 0]
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    return T.at[..., 3, 3].set(1.0)
+
+
+def _epnp(
+    pw: jnp.ndarray,  # (..., M, 3) world points
+    uv: jnp.ndarray,  # (..., M, 2) pixels
+    cam: CameraParams,
+) -> jnp.ndarray:
+    """Batched EPnP (single-beta case): (..., 4, 4) Tcw."""
+    m = pw.shape[-2]
+    # control points: centroid + PCA axes (ref: PnPsolver.cc:385-418)
+    c0 = jnp.mean(pw, axis=-2)
+    centered = pw - c0[..., None, :]
+    cov = hmat(jnp.swapaxes(centered, -1, -2), centered) / m
+    evals, evecs = jnp.linalg.eigh(cov)
+    scale = jnp.sqrt(jnp.maximum(evals, 1e-10))
+    ctrl = jnp.concatenate(
+        [
+            c0[..., None, :],
+            c0[..., None, :]
+            + jnp.swapaxes(evecs, -1, -2) * scale[..., :, None],
+        ],
+        axis=-2,
+    )  # (..., 4, 3)
+
+    # barycentric coordinates (ref: PnPsolver.cc:420-441)
+    cc = ctrl[..., 1:, :] - ctrl[..., :1, :]  # (..., 3, 3)
+    cc_inv = jnp.linalg.inv(jnp.swapaxes(cc, -1, -2))
+    a123 = hmat(centered, jnp.swapaxes(cc_inv, -1, -2))  # (..., M, 3)
+    a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
+    alphas = jnp.concatenate([a0, a123], axis=-1)  # (..., M, 4)
+
+    # M matrix (2M x 12) (ref: PnPsolver.cc:443-470)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    fu, fv, uc, vc = cam.fx, cam.fy, cam.cx, cam.cy
+    zero = jnp.zeros_like(alphas)
+    row_u = jnp.stack(
+        [alphas * fu, zero, alphas * (uc - u)[..., None]], axis=-1
+    ).reshape(*alphas.shape[:-1], 12)
+    row_v = jnp.stack(
+        [zero, alphas * fv, alphas * (vc - v)[..., None]], axis=-1
+    ).reshape(*alphas.shape[:-1], 12)
+    Mm = jnp.concatenate([row_u, row_v], axis=-2)  # (..., 2M, 12)
+    MtM = hmat(jnp.swapaxes(Mm, -1, -2), Mm)
+    _, vecs = jnp.linalg.eigh(MtM)
+    vsmall = vecs[..., :, 0]  # (..., 12): smallest eigenvector
+
+    # camera control points = beta * v (sign/scale from distances,
+    # ref: PnPsolver.cc:669-702 compute_betas case 1)
+    cc_cam = vsmall.reshape(*vsmall.shape[:-1], 4, 3)
+    dw = jnp.linalg.norm(
+        ctrl[..., :, None, :] - ctrl[..., None, :, :], axis=-1
+    )
+    dc = jnp.linalg.norm(
+        cc_cam[..., :, None, :] - cc_cam[..., None, :, :], axis=-1
+    )
+    beta = jnp.sum(dc * dw, axis=(-1, -2)) / jnp.maximum(
+        jnp.sum(dc * dc, axis=(-1, -2)), 1e-12
+    )
+    cc_cam = cc_cam * beta[..., None, None]
+    # points must be in front of the camera: flip if mean z < 0
+    pc = hmat(alphas, cc_cam)  # (..., M, 3)
+    flip = jnp.mean(pc[..., 2], axis=-1) < 0
+    pc = jnp.where(flip[..., None, None], -pc, pc)
+    # absolute orientation world -> camera (ref: PnPsolver.cc:572-630)
+    return _kabsch(pw, pc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "n_hypotheses", "min_inliers")
+)
+def ransac_pnp(
+    pw: jnp.ndarray,  # (N, 3) world points
+    uv: jnp.ndarray,  # (N, 2) measured pixels
+    sigma2: jnp.ndarray,  # (N,) per-point noise (level sigma^2)
+    valid: jnp.ndarray,  # (N,) bool
+    rng: jnp.ndarray,
+    cam: CameraParams,
+    n_hypotheses: int = 256,
+    min_inliers: int = 10,
+    chi2_th: float = 5.991,  # ref: Tracking.cc:1281 th2
+) -> RansacResult:
+    """All-hypotheses-at-once RANSAC (replaces the sequential
+    PnPsolver::iterate loop, ref: PnPsolver.cc:131-270). Inlier test is
+    the reference's per-octave chi-squared radius (:241-258)."""
+    n = pw.shape[0]
+    # sample minimal sets among valid indices: random keys per
+    # hypothesis; gumbel-top-k over validity mask
+    g = jax.random.gumbel(rng, (n_hypotheses, n))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, sets = jax.lax.top_k(g, MIN_SET)  # (H, MIN_SET)
+    pw_sets = pw[sets]  # (H, MIN_SET, 3)
+    uv_sets = uv[sets]
+    poses = _epnp(pw_sets, uv_sets, cam)  # (H, 4, 4)
+
+    # score: chi2 inliers over all points
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    pc = (
+        jnp.einsum("hij,nj->hni", R, pw,
+                   precision=jax.lax.Precision.HIGHEST)
+        + t[:, None, :]
+    )
+    pred = project(cam, pc)
+    err2 = jnp.sum((pred - uv[None]) ** 2, axis=-1)  # (H, N)
+    in_front = pc[..., 2] > 0
+    inl = (
+        (err2 / sigma2[None]) < chi2_th
+    ) & in_front & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    finite = jnp.all(jnp.isfinite(poses.reshape(n_hypotheses, -1)),
+                     axis=1)
+    counts = jnp.where(finite, counts, -1)
+    best = jnp.argmax(counts)
+    best_pose = poses[best]
+    best_inl = inl[best]
+    n_in = counts[best]
+
+    # refine with EPnP on all inliers (ref: PnPsolver.cc:271-316),
+    # padded via weighting: re-run Kabsch-EPnP on the full set with
+    # inlier selection by masking through resampling
+    def refine(pose, inliers):
+        w = inliers.astype(jnp.float32)
+        # weighted EPnP: replicate the inlier subset by zero-weighting
+        # outliers in the centroid/covariance/M accumulations is
+        # involved; a Gauss-Newton polish on the inlier set is
+        # equivalent and reuses pose_lm-style math
+        from sivo_tpu.optim import pose_lm
+
+        obs = pose_lm.PoseObservations(
+            points=pw,
+            uvr=jnp.concatenate([uv, -jnp.ones((n, 1))], axis=-1),
+            sigma2=sigma2,
+            is_stereo=jnp.zeros(n, bool),
+            valid=inliers,
+        )
+        res = pose_lm.optimize_pose_impl(
+            pose, obs, cam, rounds=2, iterations=5
+        )
+        return res.pose, res.inliers
+
+    best_pose, best_inl = refine(best_pose, best_inl)
+    n_in = jnp.sum(best_inl)
+    return RansacResult(
+        pose=best_pose,
+        inliers=best_inl,
+        n_inliers=n_in.astype(jnp.int32),
+        ok=n_in >= min_inliers,
+    )
