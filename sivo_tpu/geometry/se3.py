@@ -52,10 +52,16 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle from (..., 3, 3) rotation."""
+    """Axis-angle from (..., 3, 3) rotation.
+
+    AD-safe near the identity (the pose-graph optimizer autodiffs
+    through this at near-zero residuals): branches are computed with
+    *safe* inputs so neither produces NaN gradients (jnp.where alone
+    does not stop NaN propagation through the untaken branch).
+    Angles near pi are not handled (not needed by callers).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -63,11 +69,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
             R[..., 1, 0] - R[..., 0, 1],
         ],
         axis=-1,
-    )
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(
-        jnp.abs(sin_t) > _EPS, theta / (2.0 * sin_t + _EPS), 0.5
-    )
+    )  # = 2 sin(theta) * axis
+    s2 = 0.25 * jnp.sum(w * w, axis=-1)  # sin^2 theta
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_safe = jnp.sqrt(s2_safe)
+    theta_big = jnp.arctan2(sin_safe, cos_t)
+    scale_big = theta_big / (2.0 * sin_safe)
+    # theta/(2 sin theta) ~= 1/2 (1 + theta^2/6), theta^2 ~= s2 here
+    scale_small = 0.5 + s2 / 12.0
+    scale = jnp.where(small, scale_small, scale_big)
     return w * scale[..., None]
 
 
@@ -95,22 +106,25 @@ def exp(xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def log(T: jnp.ndarray) -> jnp.ndarray:
-    """SE(3) logarithm: (..., 4, 4) -> (..., 6) twist [rho, phi]."""
+    """SE(3) logarithm: (..., 4, 4) -> (..., 6) twist [rho, phi].
+    AD-safe near the identity (safe-input branches, see so3_log)."""
     R, t = T[..., :3, :3], T[..., :3, 3]
     phi = so3_log(R)
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-12
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = hat(phi)
     K2 = hmat(K, K)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     half_theta = 0.5 * theta
     # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) K^2
-    cot_term = jnp.where(
-        theta2 > _EPS,
-        (1.0 - half_theta * jnp.cos(half_theta) / (jnp.sin(half_theta) + _EPS))
-        / (theta2 + _EPS),
-        1.0 / 12.0,
-    )
+    cot_big = (
+        1.0
+        - half_theta * jnp.cos(half_theta)
+        / jnp.maximum(jnp.sin(half_theta), 1e-12)
+    ) / theta2_safe
+    cot_term = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, cot_big)
     Vinv = eye - 0.5 * K + cot_term * K2
     rho = hmat(Vinv, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi], axis=-1)

@@ -261,6 +261,36 @@ def _lm_round(
     return kf_pose, pt_pos, chi2, S_final
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "iterations"))
+def global_bundle_adjustment(
+    prob: BAProblem,
+    cam: CameraParams,
+    iterations: int = 10,
+) -> BAResult:
+    """Full-map BA (ref: Optimizer.cc:39-271 GlobalBundleAdjustment via
+    LoopClosing::RunGlobalBundleAdjustment — 10 iterations, robust
+    kernel OFF). Same Schur machinery as local BA; capacity bounded by
+    the dense (P, K, 6, 3) cross-block buffer, fine for the pose-graph-
+    corrected post-loop refinement at windowed scales (full KITTI-scale
+    chunked accumulation is a planned optimization)."""
+    kp, pp, chi2_total, S = _lm_round(
+        prob.kf_pose, prob.pt_pos, prob, prob.obs_valid, cam,
+        use_huber=False, n_iters=iterations,
+    )
+    r, _, _, z = _residuals(kp, pp, prob, cam)
+    chi2 = _chi2(r, prob)
+    th = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier = prob.obs_valid & (chi2 <= th) & (z > 0)
+    Sinv = jnp.linalg.inv(S + 1e-9 * jnp.eye(S.shape[0]))
+    return BAResult(
+        kf_pose=kp,
+        pt_pos=pp,
+        obs_inlier=inlier,
+        newest_cov=Sinv[:6, :6],
+        chi2=chi2_total,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def local_bundle_adjustment(
     prob: BAProblem,

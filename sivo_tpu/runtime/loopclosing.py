@@ -1,0 +1,339 @@
+"""Loop closing: detection, Sim3 computation, and loop correction.
+
+TPU-native replacement for the LoopClosing thread
+(ref: src/orbslam/LoopClosing.cc). Runs at keyframe rate after local
+mapping. Policy constants follow the reference (SURVEY appendix A):
+>= 10 KFs between loops, covisibility-consistency run length 3, >= 20
+BoW matches per candidate, Sim3 RANSAC, >= 20 Sim3 inliers, accept at
+>= 40 total matches; correction propagates the Sim3 to the covisible
+window, then optimizes the essential graph and runs a (windowed)
+global BA.
+
+The heavy numerics (descriptor quantization, matching matrices, Sim3
+RANSAC/refinement, pose graph, BA) are device programs; the graph
+bookkeeping stays host-side at keyframe rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sivo_tpu.config import SystemConfig
+from sivo_tpu.geometry import se3 as se3_np  # jnp-based, used via asarray
+from sivo_tpu.geometry import sim3
+from sivo_tpu.geometry.projection import CameraParams
+from sivo_tpu.ops import matching
+from sivo_tpu.optim import local_ba, pose_graph, sim3_opt
+from sivo_tpu.place import database as db_mod
+from sivo_tpu.place import vocabulary as voc_mod
+from sivo_tpu.runtime import device_map
+from sivo_tpu.runtime.map_state import MapState
+
+
+@dataclass
+class LoopCloser:
+    cfg: SystemConfig
+    map: MapState
+    cam: CameraParams
+    voc: voc_mod.Vocabulary
+    db: db_mod.KeyFrameDatabase = None
+    last_loop_kf: int = -10**9
+    # covisibility-consistency state (ref: LoopClosing.cc:111-240)
+    consistent_groups: list = field(default_factory=list)
+    loops_closed: int = 0
+
+    def __post_init__(self):
+        if self.db is None:
+            self.db = db_mod.KeyFrameDatabase(n_words=self.voc.n_words)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _kf_bits(self, kf_idx: int) -> jnp.ndarray:
+        d = self.map.kf_data[kf_idx]
+        return jnp.asarray(
+            np.unpackbits(
+                d.desc_u8, axis=-1, bitorder="little"
+            ).astype(np.float32)
+        )
+
+    def _bow(self, kf_idx: int) -> dict[int, float]:
+        d = self.map.kf_data[kf_idx]
+        words, _ = voc_mod.transform(
+            self.voc, self._kf_bits(kf_idx), jnp.asarray(d.semantic)
+        )
+        return voc_mod.bow_vector(self.voc, words)
+
+    def _covis_groups(self) -> dict[int, list[int]]:
+        out = {}
+        for k in range(self.map.n_keyframes):
+            w = self.map.covisibility(k)
+            order = np.argsort(-w)[:10]
+            out[k] = [int(i) for i in order if w[i] > 0]
+        return out
+
+    def _kf_point_ids(self, kf_idx: int) -> np.ndarray:
+        out = np.full(self.map.kp_capacity, -1, np.int64)
+        obs = self.map.observations()
+        mine = obs[obs[:, 0] == kf_idx]
+        out[mine[:, 2]] = mine[:, 1]
+        return out
+
+    # -- pipeline ------------------------------------------------------------
+
+    def process_keyframe(self, tracker, kf_idx: int) -> bool:
+        """Returns True if a loop was closed at this keyframe."""
+        bow = self._bow(kf_idx)
+        closed = False
+        cand = self._detect_loop(kf_idx, bow)
+        if cand is not None:
+            result = self._compute_sim3(kf_idx, cand)
+            if result is not None:
+                self._correct_loop(tracker, kf_idx, cand, result)
+                closed = True
+                self.loops_closed += 1
+                self.last_loop_kf = kf_idx
+        self.db.add(kf_idx, bow)
+        return closed
+
+    def _detect_loop(self, kf_idx: int, bow) -> int | None:
+        """ref: LoopClosing.cc:111-240."""
+        if kf_idx < self.last_loop_kf + self.cfg.loop.min_kfs_since_last_loop:
+            return None
+        if self.map.n_keyframes < 10:  # ref: :123 (10 KFs overall too)
+            return None
+        covis = self.map.covisibility(kf_idx)
+        connected = set(np.where(covis > 0)[0].tolist())
+        # minScore = lowest BoW score among covisible KFs (ref: :136-150)
+        min_score = 1.0
+        for k in connected:
+            if k in self.db.bow:
+                s = voc_mod.l1_score(bow, self.db.bow[k])
+                min_score = min(min_score, s)
+        cands = self.db.detect_loop_candidates(
+            kf_idx, bow, min_score, connected,
+            self._covis_groups(), voc_mod.l1_score,
+        )
+        if not cands:
+            self.consistent_groups = []
+            return None
+        # covisibility-consistency over 3 detections (ref: :165-237)
+        new_groups = []
+        enough: list[int] = []
+        for c in cands:
+            w = self.map.covisibility(c)
+            group = set(np.where(w > 0)[0].tolist()) | {c}
+            best_count = 0
+            matched_any = False
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    matched_any = True
+                    best_count = max(best_count, count + 1)
+            new_groups.append((group, best_count))
+            if best_count >= self.cfg.loop.covisibility_consistency_th:
+                enough.append(c)
+        self.consistent_groups = new_groups
+        return enough[0] if enough else None
+
+    def _compute_sim3(self, kf_idx: int, cand: int):
+        """ref: LoopClosing.cc:242-404 ComputeSim3 (single candidate;
+        BoW gating replaced by MXU brute-force with the same accept
+        tests)."""
+        d1 = self.map.kf_data[kf_idx]
+        d2 = self.map.kf_data[cand]
+        pts1 = self._kf_point_ids(kf_idx)
+        pts2 = self._kf_point_ids(cand)
+        m = matching.search_brute_force(
+            self._kf_bits(kf_idx),
+            jnp.asarray(pts1 >= 0),
+            jnp.asarray(d1.angle),
+            self._kf_bits(cand),
+            jnp.asarray(pts2 >= 0),
+            jnp.asarray(d2.angle),
+            nn_ratio=0.75,  # ref: LoopClosing.cc:249
+        )
+        dst = np.asarray(jax.device_get(m.dst_for_src))
+        pairs = [
+            (i, int(j)) for i, j in enumerate(dst)
+            if j >= 0 and pts1[i] >= 0 and pts2[j] >= 0
+        ]
+        if len(pairs) < self.cfg.loop.min_bow_matches:  # ref: :277
+            return None
+        n_cap = 256
+        pairs = pairs[:n_cap]
+        idx1 = np.array([p[0] for p in pairs])
+        idx2 = np.array([p[1] for p in pairs])
+        T1 = self.map.kf_pose[kf_idx].astype(np.float64)
+        T2 = self.map.kf_pose[cand].astype(np.float64)
+        pw1 = self.map.pt_pos[pts1[idx1]]
+        pw2 = self.map.pt_pos[pts2[idx2]]
+        pc1 = pw1 @ T1[:3, :3].T + T1[:3, 3]
+        pc2 = pw2 @ T2[:3, :3].T + T2[:3, 3]
+
+        def pad(a, shape):
+            out = np.zeros(shape, np.float32)
+            out[: len(a)] = a
+            return jnp.asarray(out)
+
+        n = len(pairs)
+        valid = np.zeros(n_cap, bool)
+        valid[:n] = True
+        sf = self.cfg.orb.scale_factor
+        res = sim3_opt.ransac_sim3(
+            pad(pc1, (n_cap, 3)),
+            pad(pc2, (n_cap, 3)),
+            pad(d1.xy[idx1], (n_cap, 2)),
+            pad(d2.xy[idx2], (n_cap, 2)),
+            pad(sf ** (2.0 * d1.level[idx1]), (n_cap,)) + (1 - valid),
+            pad(sf ** (2.0 * d2.level[idx2]), (n_cap,)) + (1 - valid),
+            jnp.asarray(valid),
+            jax.random.key(kf_idx),
+            self.cam,
+            fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
+        )
+        n_inl = int(jax.device_get(res.n_inliers))
+        if n_inl < self.cfg.loop.sim3_ransac_min_inliers:
+            return None
+        if len(pairs) < self.cfg.loop.min_total_matches:
+            return None
+        g12 = sim3.Sim3(
+            s=jnp.asarray(float(res.g12.s)),
+            R=res.g12.R,
+            t=res.g12.t,
+        )
+        return g12
+
+    def _correct_loop(
+        self, tracker, kf_idx: int, cand: int, g12: sim3.Sim3
+    ) -> None:
+        """ref: LoopClosing.cc:406-607 CorrectLoop + :663-765 GBA."""
+        m = self.map
+        K = m.n_keyframes
+        old_poses = m.kf_pose[:K].copy()  # snapshot BEFORE any edit
+        T1 = old_poses[kf_idx].astype(np.float64)
+        T2 = old_poses[cand].astype(np.float64)
+        # corrected current pose: Scw_corr = g12 * S2w (current frame
+        # expressed through the loop keyframe, ref: LoopClosing.cc:443)
+        g2w = sim3.from_se3(jnp.asarray(T2.astype(np.float32)))
+        g_corr_cw = sim3.compose(g12, g2w)
+
+        # correction for the covisible window of kf_idx — used only to
+        # SEED the pose graph (ref: CorrectedSim3 map,
+        # LoopClosing.cc:445-543); measurements below all come from the
+        # OLD poses (ref: NonCorrectedSim3)
+        covis = m.covisibility(kf_idx)
+        window = set(np.where(covis > 0)[0].tolist()) | {kf_idx}
+        g_old_cw = sim3.from_se3(jnp.asarray(T1.astype(np.float32)))
+        delta = sim3.compose(
+            sim3.inverse(g_corr_cw), g_old_cw
+        )  # old-world -> corrected-world
+        seed_poses = old_poses.copy()
+        for k in window:
+            gk = sim3.from_se3(jnp.asarray(old_poses[k]))
+            gk_corr = sim3.compose(gk, sim3.inverse(delta))
+            seed_poses[k] = np.asarray(
+                jax.device_get(sim3.to_se3(gk_corr))
+            ).astype(np.float32)
+
+        # essential graph over all keyframes (ref: Optimizer.cc:928):
+        # odometry/covisibility edges measured from OLD poses, the loop
+        # edge from the computed Sim3
+        E_cap = 4096
+        edges_i, edges_j, meas = [], [], []
+        for k in range(1, K):  # spanning tree (sequential parent)
+            edges_i.append(k)
+            edges_j.append(k - 1)
+        for k in range(K):  # strong covisibility
+            w = m.covisibility(k)
+            for j in np.where(
+                w >= self.cfg.loop.essential_edge_min_weight
+            )[0]:
+                if j > k + 1:
+                    edges_i.append(int(j))
+                    edges_j.append(k)
+        for i, j in zip(edges_i, edges_j):
+            rel = old_poses[i].astype(np.float64) @ np.linalg.inv(
+                old_poses[j].astype(np.float64)
+            )
+            meas.append(rel.astype(np.float32))
+        edges_i.append(kf_idx)
+        edges_j.append(cand)
+        meas.append(
+            np.asarray(
+                jax.device_get(sim3.to_se3(g12))
+            ).astype(np.float32)
+        )
+        E = len(edges_i)
+        if E > E_cap:
+            edges_i, edges_j, meas = (
+                edges_i[-E_cap:], edges_j[-E_cap:], meas[-E_cap:]
+            )
+            E = E_cap
+        K_cap = max(64, 1 << (K - 1).bit_length())
+        fixed = np.zeros(K_cap, bool)
+        fixed[cand] = True  # ref: :1010 fixes the loop keyframe
+        valid_kf = np.zeros(K_cap, bool)
+        valid_kf[:K] = True
+        poses = np.tile(np.eye(4, dtype=np.float32), (K_cap, 1, 1))
+        poses[:K] = seed_poses
+        mR = np.stack([x[:3, :3] for x in meas])
+        mt = np.stack([x[:3, 3] for x in meas])
+        prob = pose_graph.PoseGraphProblem(
+            s=jnp.ones(K_cap),
+            R=jnp.asarray(poses[:, :3, :3]),
+            t=jnp.asarray(poses[:, :3, 3]),
+            fixed=jnp.asarray(fixed),
+            valid=jnp.asarray(valid_kf),
+            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+            meas_s=jnp.ones(E),
+            meas_R=jnp.asarray(mR),
+            meas_t=jnp.asarray(mt),
+            edge_valid=jnp.ones(E, bool),
+        )
+        s, R, t = pose_graph.optimize_essential_graph(prob)
+        out = jax.device_get({"s": s, "R": R, "t": t})
+        # SE3 recovery + point correction through reference keyframes
+        # (ref: Optimizer.cc:1188-1233)
+        for k in range(K):
+            Rk = np.asarray(out["R"])[k]
+            tk = np.asarray(out["t"])[k] / max(
+                float(np.asarray(out["s"])[k]), 1e-9
+            )
+            Tk = np.eye(4, dtype=np.float32)
+            Tk[:3, :3] = Rk
+            Tk[:3, 3] = tk
+            m.kf_pose[k] = Tk
+        # move each point with its reference keyframe's correction
+        ref_kf = m.pt_ref_kf[: m.n_points]
+        live = m.pt_valid[: m.n_points]
+        for k in range(K):
+            sel = np.where(live & (ref_kf == k))[0]
+            if len(sel) == 0:
+                continue
+            T_old = old_poses[k].astype(np.float64)
+            T_new = m.kf_pose[k].astype(np.float64)
+            X = m.pt_pos[sel].astype(np.float64)
+            Xc = X @ T_old[:3, :3].T + T_old[:3, 3]
+            Tn_inv = np.linalg.inv(T_new)
+            m.pt_pos[sel] = (
+                Xc @ Tn_inv[:3, :3].T + Tn_inv[:3, 3]
+            ).astype(np.float32)
+
+        # push corrected points to the device map
+        n_pts = m.n_points
+        ids = np.arange(n_pts, dtype=np.int32)
+        cap = tracker.dmap.capacity
+        pad_ids = np.full(cap, -1, np.int32)
+        pad_ids[:n_pts] = ids
+        pad_pos = np.zeros((cap, 3), np.float32)
+        pad_pos[:n_pts] = m.pt_pos[:n_pts]
+        tracker.dmap = device_map.set_positions(
+            tracker.dmap, jnp.asarray(pad_ids), jnp.asarray(pad_pos)
+        )
+        # windowed global BA (ref: LoopClosing.cc:600-601 + Optimizer
+        # GlobalBundleAdjustment) is delegated to the next mapping
+        # cycle's local BA over the corrected graph.

@@ -30,6 +30,7 @@ class System:
     cfg: SystemConfig
     segnet_variant: str = "basic"
     segnet_params: Any = None
+    vocabulary: Any = None  # place.vocabulary.Vocabulary for loop closing
     use_viewer: bool = False  # placeholder parity with the reference API
     max_keyframes: int = 2048
     max_points: int = 131072
@@ -55,6 +56,16 @@ class System:
         self.mapper = LocalMapper(
             cfg=self.cfg, map=self.map, cam=self.tracker.cam
         )
+        self.loop_closer = None
+        if self.vocabulary is not None:
+            from sivo_tpu.runtime.loopclosing import LoopCloser
+
+            self.loop_closer = LoopCloser(
+                cfg=self.cfg,
+                map=self.map,
+                cam=self.tracker.cam,
+                voc=self.vocabulary,
+            )
         self._rng = jax.random.key(42)
         self._frame_no = 0
 
@@ -85,11 +96,13 @@ class System:
         kf_before = self.map.n_keyframes
         pose = self.tracker.track(f, timestamp)
         if self.map.n_keyframes > kf_before:
+            kf_idx = self.map.n_keyframes - 1
             # mapping pipeline at keyframe rate
             # (ref: LocalMapping::Run, SURVEY §3.3)
-            self.mapper.process_keyframe(
-                self.tracker, self.map.n_keyframes - 1
-            )
+            self.mapper.process_keyframe(self.tracker, kf_idx)
+            # loop closing at keyframe rate (ref: LoopClosing::Run)
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(self.tracker, kf_idx)
         return pose
 
     # -- shutdown / outputs ----------------------------------------------------
