@@ -1,0 +1,135 @@
+"""Command-line entry point.
+
+Mirrors the reference binary (ref: src/sivo.cc:41-49):
+    SIVO vocab settings prototxt caffemodel sequence_dir
+Usage:
+    python -m sivo_tpu.cli VOCAB SETTINGS PROTOTXT CAFFEMODEL SEQ_DIR
+with '-' accepted for VOCAB (disables loop closing) and CAFFEMODEL
+(random-initialized network — the reference checkout only ships Git-LFS
+weight stubs, see BASELINE.md).
+
+Outputs match the reference: per-frame pacing to the dataset
+timestamps, median/mean track-time stats at exit (sivo.cc:130-137),
+CameraTrajectory.txt (System.cc:274-336) and keyframes_points.txt
+(System.cc:263-271).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    no_semantics = "--no-semantics" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    if len(argv) < 5:
+        print(
+            "usage: python -m sivo_tpu.cli path_to_vocabulary "
+            "path_to_settings path_to_prototxt path_to_caffemodel "
+            "path_to_sequence [--no-semantics]",
+            file=sys.stderr,
+        )
+        return 1
+    vocab_path, settings_path, prototxt, caffemodel, seq_dir = argv[:5]
+
+    import jax
+
+    from sivo_tpu import config as cfg_mod
+    from sivo_tpu.io import kitti
+    from sivo_tpu.models import caffe_io, segnet
+    from sivo_tpu.runtime.system import System
+
+    cfg = cfg_mod.load_settings(settings_path)
+    variant = "basic" if "basic" in prototxt else "standard"
+
+    params = None
+    if caffemodel != "-":
+        try:
+            model = segnet.SegNet(variant=variant)
+            init = segnet.init_params(
+                model, jax.random.key(0),
+                cfg.camera.height, cfg.camera.width,
+            )
+            params = caffe_io.merge_params(
+                init, caffe_io.load_segnet_params(caffemodel, variant)
+            )
+            print(f"Loaded weights from {caffemodel}")
+        except ValueError as e:
+            print(f"WARNING: {e}; using random initialization")
+
+    vocabulary = None
+    if vocab_path != "-":
+        from sivo_tpu.place import vocabulary as voc_mod
+
+        t0 = time.time()
+        vocabulary = voc_mod.load_text(vocab_path)
+        print(
+            f"Vocabulary loaded: {vocabulary.n_words} words "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+    seq = kitti.load_sequence(seq_dir)
+    print(f"Images in the sequence: {len(seq)}")
+
+    system = System(
+        cfg=cfg,
+        segnet_variant=variant,
+        segnet_params=params,
+        vocabulary=vocabulary,
+    )
+
+    sem_override = None
+    if no_semantics:
+        # geometric-only mode: every pixel static/certain (the CNN
+        # still runs; its posterior is bypassed at runtime). Useful
+        # when no trained weights are available.
+        import jax.numpy as jnp
+
+        h, w = cfg.camera.height, cfg.camera.width
+        sem_override = (
+            jnp.zeros((h, w), jnp.uint8),
+            jnp.ones((h, w), jnp.float32),
+            jnp.zeros((h, w), jnp.float32),
+            jnp.asarray(False),
+        )
+        print("Semantics bypassed (--no-semantics): geometric VO mode")
+
+    track_times = []
+    for i in range(len(seq)):
+        left, right = seq.read(i)
+        left = kitti.center_crop(
+            left, cfg.camera.height, cfg.camera.width
+        )
+        right = kitti.center_crop(
+            right, cfg.camera.height, cfg.camera.width
+        )
+        t1 = time.time()
+        system.track_stereo(
+            left, right, float(seq.timestamps[i]),
+            sem_override=sem_override,
+        )
+        dt = time.time() - t1
+        track_times.append(dt)
+        # pace to the dataset timestamps (ref: sivo.cc:115-123)
+        if i + 1 < len(seq):
+            wait = float(seq.timestamps[i + 1] - seq.timestamps[i]) - dt
+            if wait > 0:
+                time.sleep(min(wait, 0.5))
+
+    system.shutdown("keyframes_points.txt")
+    system.save_trajectory_kitti("CameraTrajectory.txt")
+    tt = np.sort(track_times)
+    print(
+        "-------\n"
+        f"median tracking time: {tt[len(tt) // 2]:.4f}\n"
+        f"mean tracking time: {tt.mean():.4f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

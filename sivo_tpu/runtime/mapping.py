@@ -46,6 +46,44 @@ class LocalMapper:
         self._cull_points(tracker, kf_idx)
         if self.map.n_keyframes >= 2:
             self._local_ba(tracker, kf_idx)
+            self._cull_keyframes(kf_idx)
+
+    def _cull_keyframes(self, kf_idx: int) -> None:
+        """KeyFrameCulling (ref: LocalMapping.cc:727-792): a covisible
+        keyframe is redundant when >= 90% of its tracked points are
+        observed by >= 3 other keyframes at the same or finer scale
+        (level <= level + 1). Culled KFs stay in the pose chain for
+        trajectory output (kf_valid=False removes them from retrieval).
+        """
+        m = self.map
+        covis = m.covisibility(kf_idx)
+        obs = m.observations()
+        if len(obs) == 0:
+            return
+        for k in np.where(covis > 0)[0]:
+            if k == 0 or not m.kf_valid[k]:  # never cull the origin
+                continue
+            mine = obs[obs[:, 0] == k]
+            if len(mine) < 10:
+                continue
+            data = m.kf_data[k]
+            n_redundant = 0
+            for _, pt, kp in mine:
+                lvl = data.level[kp]
+                others = obs[(obs[:, 1] == pt) & (obs[:, 0] != k)]
+                fine = 0
+                for ok_kf, _, ok_kp in others:
+                    if m.kf_data[ok_kf].level[ok_kp] <= lvl + 1:
+                        fine += 1
+                        if fine >= 3:
+                            break
+                if fine >= 3:
+                    n_redundant += 1
+            if n_redundant > self.cfg.mapping.kf_cull_redundancy * len(
+                mine
+            ):
+                m.kf_valid[k] = False
+                m._obs_dirty = True
 
     # -- point culling ------------------------------------------------------
 

@@ -95,6 +95,8 @@ class System:
         """Track a pre-built Frame (device pipelining entry)."""
         kf_before = self.map.n_keyframes
         pose = self.tracker.track(f, timestamp)
+        if pose is None:
+            pose = self._relocalize(f, timestamp)
         if self.map.n_keyframes > kf_before:
             kf_idx = self.map.n_keyframes - 1
             # mapping pipeline at keyframe rate
@@ -104,6 +106,129 @@ class System:
             if self.loop_closer is not None:
                 self.loop_closer.process_keyframe(self.tracker, kf_idx)
         return pose
+
+    def _relocalize(self, f, timestamp: float) -> Optional[np.ndarray]:
+        """Relocalization from the keyframe database
+        (ref: Tracking.cc:1237-1396): BoW candidates -> brute-force
+        matching -> batched EPnP RANSAC -> pose acceptance; full system
+        reset when lost with <= 5 keyframes (ref: Tracking.cc:417-425).
+        """
+        from sivo_tpu.runtime.tracking import TrackingState
+
+        if self.map.n_keyframes <= 5:
+            # the reference resets the whole session in this state
+            self.reset()
+            return None
+        if self.loop_closer is None:
+            return None
+
+        import jax.numpy as jnp
+        from sivo_tpu.ops import matching as match_mod
+        from sivo_tpu.place import pnp as pnp_mod
+        from sivo_tpu.place import vocabulary as voc_mod
+        from sivo_tpu.optim import pose_lm
+
+        lc = self.loop_closer
+        words, _ = voc_mod.transform(
+            lc.voc,
+            f.desc_bits,
+            f.semantic,
+        )
+        bow = voc_mod.bow_vector(lc.voc, words)
+        cands = lc.db.detect_relocalization_candidates(
+            bow, lc._covis_groups(), voc_mod.l1_score
+        )
+        for cand in cands[:5]:
+            d = self.map.kf_data[cand]
+            pts = lc._kf_point_ids(cand)
+            m = match_mod.search_brute_force(
+                lc._kf_bits(cand),
+                jnp.asarray(pts >= 0),
+                jnp.asarray(d.angle),
+                f.desc_bits, f.semantic, f.angle,
+                nn_ratio=0.75,  # ref: Tracking.cc:1255
+            )
+            src = np.asarray(jax.device_get(m.src_for_dst))
+            hit = src >= 0
+            if hit.sum() < 15:  # ref: Tracking.cc:1283
+                continue
+            pt_ids = np.full(f.capacity, -1, np.int64)
+            pt_ids[hit] = pts[src[hit]]
+            has = pt_ids >= 0
+            pw = np.zeros((f.capacity, 3), np.float32)
+            pw[has] = self.map.pt_pos[pt_ids[has]]
+            sf = self.cfg.orb.scale_factor
+            lvl = np.asarray(jax.device_get(f.level))
+            res = pnp_mod.ransac_pnp(
+                jnp.asarray(pw),
+                f.xy,
+                jnp.asarray(sf ** (2.0 * lvl.astype(np.float32))),
+                jnp.asarray(has),
+                jax.random.key(self.tracker.frame_count),
+                self.tracker.cam,
+            )
+            if not bool(jax.device_get(res.ok)):
+                continue
+            # final polish with stereo observations + accept at >= 50
+            # inliers (ref: Tracking.cc:1342-1385)
+            obs = pose_lm.PoseObservations(
+                points=jnp.asarray(pw),
+                uvr=jnp.concatenate(
+                    [f.xy, f.u_right[:, None]], axis=-1
+                ),
+                sigma2=jnp.asarray(
+                    sf ** (2.0 * lvl.astype(np.float32))
+                ),
+                is_stereo=f.u_right > 0,
+                valid=jnp.asarray(has),
+            )
+            final = pose_lm.optimize_pose(
+                res.pose, obs, self.tracker.cam
+            )
+            n_in = int(jax.device_get(final.n_inliers))
+            if n_in < 50:
+                continue
+            # success: rebuild the tracker carry at the new pose
+            pose = np.asarray(jax.device_get(final.pose))
+            cov = np.asarray(jax.device_get(final.covariance))
+            inl = np.asarray(jax.device_get(final.inliers))
+            pt_ids[~inl] = -1
+            tr = self.tracker
+            tr.last_pose = pose
+            tr.last_cov = cov
+            tr.state = TrackingState.OK
+            tr._has_velocity = False
+            tr.carry = tr.carry._replace(
+                pose=jnp.asarray(pose),
+                cov=jnp.asarray(cov),
+                has_velocity=jnp.asarray(False),
+                pt_idx=jnp.asarray(pt_ids.astype(np.int32)),
+                desc_bits=f.desc_bits,
+                level=f.level,
+                angle=f.angle,
+                valid=f.valid,
+            )
+            if tr.trajectory:
+                tr.trajectory[-1].pose = pose
+                tr.trajectory[-1].rel_pose = tr._rel_pose(pose)
+                tr.trajectory[-1].lost = False
+            return pose
+        return None
+
+    def reset(self) -> None:
+        """Full session reset (ref: Tracking.cc:1398-1435 +
+        System::Reset)."""
+        from sivo_tpu.runtime.tracking import Tracker, TrackingState
+
+        self.map.clear()
+        self.tracker = Tracker(cfg=self.cfg, map=self.map)
+        if self.loop_closer is not None:
+            from sivo_tpu.runtime.loopclosing import LoopCloser
+
+            self.loop_closer = LoopCloser(
+                cfg=self.cfg, map=self.map,
+                cam=self.tracker.cam, voc=self.vocabulary,
+            )
 
     # -- shutdown / outputs ----------------------------------------------------
 
