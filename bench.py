@@ -51,7 +51,11 @@ def main() -> None:
     )
     gt = synthetic.forward_trajectory(n_frames=n_frames, speed=1.1)
     left, right, clsmaps = synthetic.render_sequence(world, gt)
-    left_color = np.repeat(left[:, :, :, None], 3, axis=-1)
+    # uint8 uploads: the host->device link is the bottleneck
+    left_color = np.repeat(
+        left[:, :, :, None], 3, axis=-1
+    ).astype(np.uint8)
+    right = right.astype(np.uint8)
     # no trained CNN weights exist in this environment (Git-LFS stubs,
     # BASELINE.md) — the CNN runs at full cost every frame, but the
     # tracking policy consumes the renderer's ground-truth semantics

@@ -103,10 +103,10 @@ def main(argv: list[str] | None = None) -> int:
         left, right = seq.read(i)
         left = kitti.center_crop(
             left, cfg.camera.height, cfg.camera.width
-        )
+        ).astype(np.uint8)
         right = kitti.center_crop(
             right, cfg.camera.height, cfg.camera.width
-        )
+        ).astype(np.uint8)
         t1 = time.time()
         system.track_stereo(
             left, right, float(seq.timestamps[i]),

@@ -162,7 +162,10 @@ def _gather_patches(
     half: int,
 ) -> jnp.ndarray:
     """(N,) levels + (N, 2) integer level coords -> (N, 2h+1, 2h+1)
-    patches from the stacked pyramid canvas."""
+    patches from the stacked pyramid canvas. Implementation note: a
+    vmapped dynamic_slice beats a general fancy-index gather on TPU —
+    each patch is a contiguous block transfer, where arbitrary-index
+    gathers serialize per element."""
     size = 2 * half + 1
 
     def one(lvl: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

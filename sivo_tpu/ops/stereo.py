@@ -62,27 +62,41 @@ def _sad_windows(
     ur0_s: jnp.ndarray,
 ) -> jnp.ndarray:
     """Per-keypoint SAD profile over the +-SAD_L slide
-    (ref: Frame.cc:540-570): returns (N, 2*SAD_L+1) distances."""
+    (ref: Frame.cc:540-570): returns (N, 2*SAD_L+1) distances.
+
+    Fully gathered form: one advanced-indexing gather per image (the
+    original vmapped dynamic_slice version was the single hottest op of
+    the whole frontend, ~400ms at KITTI geometry)."""
     w = SAD_W
     win = 2 * w + 1
+    n_off = 2 * SAD_L + 1
+    lvl = lvl_i(level)
 
-    def one(lvl, ul, vl, ur0):
+    # two contiguous block slices per keypoint (vmapped dynamic_slice;
+    # block transfers beat general gathers on TPU)
+    def slices(lv, ul, vl, ur0):
         il = jax.lax.dynamic_slice(
-            canvas_l, (lvl, vl + BORDER - w, ul + BORDER - w), (1, win, win)
+            canvas_l, (lv, vl + BORDER - w, ul + BORDER - w),
+            (1, win, win),
         )[0]
-        il = il - il[w, w]  # center-normalize, ref: Frame.cc:549
         strip = jax.lax.dynamic_slice(
             canvas_r,
-            (lvl, vl + BORDER - w, ur0 + BORDER - w - SAD_L),
+            (lv, vl + BORDER - w, ur0 + BORDER - w - SAD_L),
             (1, win, win + 2 * SAD_L),
         )[0]
-        def sad(inc):
-            ir = jax.lax.dynamic_slice(strip, (0, inc), (win, win))
-            ir = ir - ir[w, w]
-            return jnp.sum(jnp.abs(il - ir))
-        return jnp.stack([sad(i) for i in range(2 * SAD_L + 1)])
+        return il, strip
 
-    return jax.vmap(one)(lvl_i(level), ul_s, vl_s, ur0_s)
+    il, strip = jax.vmap(slices)(lvl, ul_s, vl_s, ur0_s)
+    il = il - il[:, w : w + 1, w : w + 1]  # ref: Frame.cc:549
+
+    # all 11 windows from the strip via STATIC slices (any dynamic
+    # gather here serializes on TPU)
+    wins = jnp.stack(
+        [strip[:, :, o : o + win] for o in range(n_off)], axis=1
+    )  # (N, n_off, win, win)
+    centers = wins[:, :, w : w + 1, w : w + 1]
+    wins = wins - centers
+    return jnp.sum(jnp.abs(il[:, None] - wins), axis=(-1, -2))
 
 
 def lvl_i(level: jnp.ndarray) -> jnp.ndarray:

@@ -250,7 +250,24 @@ def save_text(voc: Vocabulary, path: str) -> None:
 
 def load_text(path: str) -> Vocabulary:
     """DBoW2-format text loader; tolerates ragged trees
-    (ref: TemplatedVocabulary.h:1338)."""
+    (ref: TemplatedVocabulary.h:1338). Uses the native C++ parser when
+    built (sivo_tpu/native) — the reference's ~1M-line ORBvoc.txt is
+    its dominant startup cost (System.cc:75-82)."""
+    try:
+        from sivo_tpu import native
+
+        if native.available():
+            k, depth, par, leaf, desc, w_arr = (
+                native.parse_vocabulary_text(path)
+            )
+            parents = par.tolist()
+            weights = w_arr.tolist()
+            rows = desc
+            n = len(rows)
+            bits = _unpack_bits_np(rows)
+            return _assemble(k, depth, n, parents, bits, weights)
+    except (RuntimeError, OSError):
+        pass
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
@@ -265,6 +282,10 @@ def load_text(path: str) -> Vocabulary:
             weights.append(float(parts[34]))
     n = len(rows)
     bits = _unpack_bits_np(np.array(rows, np.uint8))
+    return _assemble(k, depth, n, parents, bits, weights)
+
+
+def _assemble(k, depth, n, parents, bits, weights) -> Vocabulary:
     # node ids: 0 = root, line i -> node i+1; parent field is
     # 0 for root children else parent line index + 1
     cent_arr = np.concatenate(

@@ -124,6 +124,10 @@ def build_frame(
     (benchmarking with ground-truth semantics when no trained weights
     exist; the select is data-dependent so XLA cannot DCE the network).
     """
+    # accept uint8 uploads (4x less host->device traffic; the link is
+    # the bottleneck) and promote on device
+    img_left_color = img_left_color.astype(jnp.float32)
+    img_right_gray = img_right_gray.astype(jnp.float32)
     # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
     classes, confidence, entropy = segnet_mod.segment_image(
         model, params, img_left_color, rng, statics.mc_samples
@@ -184,6 +188,8 @@ def build_frame_nosegnet(
 ) -> Frame:
     """Frontend with externally-supplied semantic rasters (for tests and
     for pipelining segmentation separately from extraction)."""
+    gray_left = gray_left.astype(jnp.float32)
+    gray_right = gray_right.astype(jnp.float32)
     kps_l, blur_l = _extract_keypoints(gray_left, statics)
     kps_r, blur_r = _extract_keypoints(gray_right, statics)
     sem_class, sem_conf, sem_ent = semantic_ops.sample_rasters(

@@ -7,10 +7,11 @@ adjustment, and observation erasure, run synchronously at keyframe rate
 BA program can execute on-device while the host prepares the next
 frame).
 
-Not yet ported from the reference (round-1 gaps, see SURVEY §2):
-CreateNewMapPoints epipolar triangulation (stereo KF insertion already
-creates depth-verified points), SearchInNeighbors fusion, and
-KeyFrameCulling.
+Pipeline per keyframe (ref: LocalMapping.cc:55-114): point culling,
+epipolar triangulation of new points (CreateNewMapPoints + the SIVO
+CheckSemantics gate), local BA, keyframe culling. Remaining gap vs the
+reference: SearchInNeighbors duplicate-point fusion
+(ref: LocalMapping.cc:547-637).
 """
 
 from __future__ import annotations
@@ -45,8 +46,127 @@ class LocalMapper:
         (ref: LocalMapping.cc:55-114 Run loop body)."""
         self._cull_points(tracker, kf_idx)
         if self.map.n_keyframes >= 2:
+            self._create_new_points(tracker, kf_idx)
             self._local_ba(tracker, kf_idx)
             self._cull_keyframes(kf_idx)
+
+    # -- triangulation --------------------------------------------------------
+
+    def _kf_point_ids(self, kf_idx: int) -> np.ndarray:
+        out = np.full(self.map.kp_capacity, -1, np.int64)
+        obs = self.map.observations()
+        if len(obs):
+            mine = obs[obs[:, 0] == kf_idx]
+            out[mine[:, 2]] = mine[:, 1]
+        return out
+
+    def _create_new_points(self, tracker, kf_idx: int) -> None:
+        """CreateNewMapPoints (ref: LocalMapping.cc:198-472): epipolar
+        triangulation against the top covisible neighbors, gated by
+        CheckSemantics. One device program per neighbor pair."""
+        from sivo_tpu.ops import triangulation as tri
+        from sivo_tpu.runtime import device_map
+
+        m = self.map
+        covis = m.covisibility(kf_idx)
+        order = np.argsort(-covis)
+        neighbors = [
+            int(k) for k in order if covis[k] > 0
+        ][: self.cfg.mapping.n_triangulate_neighbors]
+        if not neighbors:
+            return
+        d1 = m.kf_data[kf_idx]
+        pts1 = self._kf_point_ids(kf_idx)
+        free1 = (pts1 < 0) & d1.semantic
+        baseline = self.cam.bf / self.cam.fx
+        c1 = m.kf_camera_center(kf_idx)
+        # stereo rule: skip neighbors closer than one baseline
+        # (ref: LocalMapping.cc:236-244)
+        neighbors = [
+            nb for nb in neighbors
+            if np.linalg.norm(m.kf_camera_center(nb) - c1) >= baseline
+        ]
+        if not neighbors:
+            return
+        # all neighbors in one batched program + one fetch
+        B = self.cfg.mapping.n_triangulate_neighbors
+        N = m.kp_capacity
+        t2 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        xy2 = np.zeros((B, N, 2), np.float32)
+        lvl2 = np.zeros((B, N), np.int32)
+        desc2 = np.zeros((B, N, 32), np.uint8)
+        free2 = np.zeros((B, N), bool)
+        cls2 = np.zeros((B, N), np.uint8)
+        nb_valid = np.zeros(B, bool)
+        for i, nb in enumerate(neighbors[:B]):
+            d2 = m.kf_data[nb]
+            pts2 = self._kf_point_ids(nb)
+            t2[i] = m.kf_pose[nb]
+            xy2[i] = d2.xy
+            lvl2[i] = d2.level
+            desc2[i] = d2.desc_u8
+            free2[i] = (pts2 < 0) & d2.semantic
+            cls2[i] = d2.sem_class
+            nb_valid[i] = True
+        res = tri.triangulate_neighbors(
+            jnp.asarray(m.kf_pose[kf_idx]),
+            jnp.asarray(d1.xy), jnp.asarray(d1.level),
+            jnp.asarray(d1.desc_u8),
+            jnp.asarray(free1), jnp.asarray(d1.u_right),
+            jnp.asarray(d1.sem_class),
+            jnp.asarray(d1.sem_confidence),
+            jnp.asarray(d1.sem_entropy),
+            jnp.asarray(m.kf_cov[kf_idx]),
+            jnp.asarray(t2), jnp.asarray(xy2), jnp.asarray(lvl2),
+            jnp.asarray(desc2), jnp.asarray(free2), jnp.asarray(cls2),
+            jnp.asarray(nb_valid),
+            jnp.float32(self.cfg.semantic.th_confidence),
+            jnp.float32(self.cfg.semantic.th_entropy_reduction),
+            self.cam,
+            self.cfg.orb.scale_factor,
+            self.cfg.orb.n_levels,
+        )
+        out = jax.device_get(
+            {"xw": res.xw, "kp2": res.kp2, "acc": res.accepted}
+        )
+        acc = np.asarray(out["acc"])  # (B, N)
+        # first accepting neighbor wins each kp1 slot
+        first_nb = np.argmax(acc, axis=0)
+        any_acc = acc.any(axis=0)
+        kp1_idx = np.where(any_acc)[0]
+        if len(kp1_idx) == 0:
+            return
+        nb_of = first_nb[kp1_idx]
+        xw = np.asarray(out["xw"])[nb_of, kp1_idx]
+        kp2_idx = np.asarray(out["kp2"])[nb_of, kp1_idx]
+        ids = m.add_points(
+            xw.astype(np.float32),
+            d1.desc_u8[kp1_idx],
+            d1.sem_class[kp1_idx],
+            kf_idx,
+            kp1_idx,
+            d1.level[kp1_idx],
+        )
+        for i, nb in enumerate(neighbors[:B]):
+            sel = nb_of == i
+            if sel.any():
+                m.add_observations(nb, ids[sel], kp2_idx[sel])
+        # mirror into the device map (one donation program)
+        sel_full = np.zeros(N, bool)
+        sel_full[kp1_idx] = True
+        xw_full = np.zeros((N, 3), np.float32)
+        xw_full[kp1_idx] = xw
+        tracker.dmap, _ = device_map.add_points(
+            tracker.dmap,
+            jnp.asarray(sel_full),
+            jnp.asarray(xw_full),
+            jnp.asarray(d1.desc_u8),
+            jnp.asarray(d1.sem_class),
+            jnp.asarray(d1.level),
+            jnp.asarray(c1.astype(np.float32)),
+            self.cfg.orb.scale_factor,
+            self.cfg.orb.n_levels,
+        )
 
     def _cull_keyframes(self, kf_idx: int) -> None:
         """KeyFrameCulling (ref: LocalMapping.cc:727-792): a covisible
@@ -60,25 +180,34 @@ class LocalMapper:
         obs = m.observations()
         if len(obs) == 0:
             return
+        # vectorized: per-observation levels, then per-point counts of
+        # same-or-finer observations
+        obs_level = np.zeros(len(obs), np.int32)
+        for k in np.unique(obs[:, 0]):
+            sel = obs[:, 0] == k
+            obs_level[sel] = m.kf_data[k].level[obs[sel, 2]]
         for k in np.where(covis > 0)[0]:
             if k == 0 or not m.kf_valid[k]:  # never cull the origin
                 continue
-            mine = obs[obs[:, 0] == k]
+            mine_sel = obs[:, 0] == k
+            mine = obs[mine_sel]
             if len(mine) < 10:
                 continue
-            data = m.kf_data[k]
-            n_redundant = 0
-            for _, pt, kp in mine:
-                lvl = data.level[kp]
-                others = obs[(obs[:, 1] == pt) & (obs[:, 0] != k)]
-                fine = 0
-                for ok_kf, _, ok_kp in others:
-                    if m.kf_data[ok_kf].level[ok_kp] <= lvl + 1:
-                        fine += 1
-                        if fine >= 3:
-                            break
-                if fine >= 3:
-                    n_redundant += 1
+            my_level = obs_level[mine_sel]
+            # for each of my points: # other obs with level <= mine+1
+            fine_count = np.zeros(len(mine), np.int32)
+            other_sel = ~mine_sel
+            others_pt = obs[other_sel, 1]
+            others_lvl = obs_level[other_sel]
+            # bucket others by point id
+            order = np.argsort(others_pt)
+            op, ol = others_pt[order], others_lvl[order]
+            starts = np.searchsorted(op, mine[:, 1], side="left")
+            ends = np.searchsorted(op, mine[:, 1], side="right")
+            for i in range(len(mine)):
+                lv = ol[starts[i] : ends[i]]
+                fine_count[i] = np.sum(lv <= my_level[i] + 1)
+            n_redundant = int((fine_count >= 3).sum())
             if n_redundant > self.cfg.mapping.kf_cull_redundancy * len(
                 mine
             ):
@@ -184,7 +313,8 @@ class LocalMapper:
         valid_pt = np.zeros(MAX_BA_PT, bool)
         valid_pt[: len(pt_ids)] = m.pt_valid[pt_ids]
 
-        # observations from KFs in the window
+        # observations from KFs in the window (vectorized per KF — a
+        # Python loop over 16k rows costs ~100ms at keyframe rate)
         rows = obs[np.isin(obs[:, 0], kfs)]
         if len(rows) > MAX_BA_OBS:
             rows = rows[-MAX_BA_OBS:]
@@ -196,15 +326,29 @@ class LocalMapper:
         obs_stereo = np.zeros(MAX_BA_OBS, bool)
         obs_valid = np.zeros(MAX_BA_OBS, bool)
         sf = self.cfg.orb.scale_factor
-        for i, (k, p, kp) in enumerate(rows):
+        kf_slot_arr = np.zeros(self.map.max_keyframes, np.int32)
+        for k, i in kf_slot.items():
+            kf_slot_arr[k] = i
+        pt_slot_arr = np.zeros(self.map.max_points, np.int32)
+        pt_slot_arr[pt_ids] = np.arange(len(pt_ids))
+        obs_kf[:o] = kf_slot_arr[rows[:, 0]]
+        obs_pt[:o] = pt_slot_arr[rows[:, 1]]
+        for k in kfs:
+            sel = rows[:, 0] == k
+            if not sel.any():
+                continue
+            kp = rows[sel, 2]
             data = m.kf_data[k]
-            obs_kf[i] = kf_slot[int(k)]
-            obs_pt[i] = pt_slot[int(p)]
             ur = data.u_right[kp]
-            obs_uvr[i] = [data.xy[kp, 0], data.xy[kp, 1], max(ur, 0.0)]
-            obs_sigma2[i] = sf ** (2.0 * data.level[kp])
-            obs_stereo[i] = ur > 0
-            obs_valid[i] = True
+            obs_uvr[:o][sel] = np.stack(
+                [data.xy[kp, 0], data.xy[kp, 1],
+                 np.maximum(ur, 0.0)], axis=-1,
+            )
+            obs_sigma2[:o][sel] = sf ** (
+                2.0 * data.level[kp].astype(np.float32)
+            )
+            obs_stereo[:o][sel] = ur > 0
+        obs_valid[:o] = True
 
         prob = local_ba.BAProblem(
             kf_pose=jnp.asarray(poses),

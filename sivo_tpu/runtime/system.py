@@ -84,8 +84,8 @@ class System:
             self.model,
             self.segnet_params,
             self.statics,
-            jnp.asarray(img_left_color, jnp.float32),
-            jnp.asarray(img_right_gray, jnp.float32),
+            jnp.asarray(img_left_color),  # uint8 ok; promoted on device
+            jnp.asarray(img_right_gray),
             key,
             sem_override=sem_override,
         )
