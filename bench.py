@@ -82,16 +82,24 @@ def main() -> None:
         )
         tracker.track(f, timestamp=i * 0.1)
 
-    # warmup: initialize + compile every program variant
-    for i in range(4):
-        run_frame(i)
+    # warmup: initialize + compile every program variant — keep going
+    # until the keyframe pipeline (mapping, triangulation, BA) has
+    # compiled at least twice so the timed window has no compiles
+    warm = 0
+    kf_events = 0
+    while warm < n_frames - 8 and (warm < 4 or kf_events < 2):
+        kf_before = mp.n_keyframes
+        run_frame(warm)
+        if mp.n_keyframes > kf_before:
+            kf_events += 1
+        warm += 1
 
     t0 = time.time()
-    for i in range(4, n_frames):
+    for i in range(warm, n_frames):
         run_frame(i)
     # force full sync
     _ = np.asarray(tracker.last_pose)
-    dt = (time.time() - t0) / (n_frames - 4)
+    dt = (time.time() - t0) / max(n_frames - warm, 1)
     fps = 1.0 / dt
 
     n_lost = sum(1 for r in tracker.trajectory if r.lost)

@@ -173,6 +173,7 @@ def search_by_projection_points(
     scales: jnp.ndarray,
     th: float = 1.0,
     nn_ratio: float = 0.8,
+    accept_th: float = TH_HIGH,
 ) -> MatchResult:
     """Local-map-points-to-frame search
     (ref: ORBmatcher.cc:44-159 SearchByProjection(Frame&, vector<MapPoint*>&)).
@@ -215,7 +216,7 @@ def search_by_projection_points(
     ratio_ok = (best_lvl != second_lvl) | (
         best_d <= nn_ratio * second_d
     )
-    matched = (best_d <= TH_HIGH) & ratio_ok
+    matched = (best_d <= accept_th) & ratio_ok
     return _resolve(dist, best_j, matched)
 
 

@@ -212,6 +212,26 @@ class MapState:
         self._obs_kp = [self._obs_kp[i] for i in keep]
         self._obs_dirty = True
 
+    def replace_point(self, kill: int, keep: int) -> None:
+        """Fuse two map points (ref: MapPoint.cc:225-261 Replace):
+        rewrite observations of ``kill`` to ``keep`` (dropping ones
+        where the keyframe already observes ``keep``) and invalidate
+        ``kill``."""
+        seen: set[tuple[int, int]] = set()
+        for i in range(len(self._obs_pt)):
+            if self._obs_pt[i] == keep:
+                seen.add((self._obs_kf[i], keep))
+        for i in range(len(self._obs_pt)):
+            if self._obs_pt[i] == kill:
+                key = (self._obs_kf[i], keep)
+                if key not in seen:
+                    self._obs_pt[i] = keep
+                    seen.add(key)
+        self.pt_valid[kill] = False
+        self.pt_found[keep] += self.pt_found[kill]
+        self.pt_visible[keep] += self.pt_visible[kill]
+        self._obs_dirty = True
+
     def remove_point(self, pt_id: int) -> None:
         """SetBadFlag (ref: MapPoint.cc:201-223) — lazily: observations
         of invalid points are filtered at query time."""

@@ -47,8 +47,115 @@ class LocalMapper:
         self._cull_points(tracker, kf_idx)
         if self.map.n_keyframes >= 2:
             self._create_new_points(tracker, kf_idx)
+            self._fuse_neighbors(tracker, kf_idx)
             self._local_ba(tracker, kf_idx)
             self._cull_keyframes(kf_idx)
+
+    # -- fusion ---------------------------------------------------------------
+
+    def _fuse_neighbors(self, tracker, kf_idx: int) -> None:
+        """SearchInNeighbors (ref: LocalMapping.cc:547-637 + ORBmatcher
+        Fuse :787-930): project the new keyframe's map points into its
+        covisible neighbors; a hit on a keypoint that already has a
+        DIFFERENT point merges the two (keep the more-observed,
+        ref: MapPoint::Replace), a hit on a free keypoint adds an
+        observation. One batched device program for all neighbors."""
+        from sivo_tpu.geometry.projection import (
+            frustum_check, predict_scale,
+        )
+        from sivo_tpu.ops import matching
+        from sivo_tpu.runtime.device_map import unpack_bits
+
+        m = self.map
+        covis = m.covisibility(kf_idx)
+        order = np.argsort(-covis)
+        neighbors = [int(k) for k in order if covis[k] > 0][:10]
+        if not neighbors:
+            return
+        my_pts = self._kf_point_ids(kf_idx)
+        pt_ids = np.unique(my_pts[my_pts >= 0])
+        if len(pt_ids) == 0:
+            return
+        P_CAP = 2048
+        pt_ids = pt_ids[:P_CAP]
+        pad = np.zeros(P_CAP, np.int64)
+        pad[: len(pt_ids)] = pt_ids
+        alive = np.zeros(P_CAP, bool)
+        alive[: len(pt_ids)] = m.pt_valid[pad[: len(pt_ids)]]
+
+        scales = jnp.asarray(
+            self.cfg.orb.scale_factor
+            ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
+        )
+        pt_pos = jnp.asarray(m.pt_pos[pad])
+        pt_normal = jnp.asarray(m.pt_normal[pad])
+        pt_mind = jnp.asarray(m.pt_min_dist[pad])
+        pt_maxd = jnp.asarray(m.pt_max_dist[pad])
+        pt_bits = unpack_bits(jnp.asarray(m.pt_desc_u8[pad]))
+        alive_j = jnp.asarray(alive)
+
+        results = []
+        for nb in neighbors:
+            d2 = m.kf_data[nb]
+            visible, uvr, dist, view_cos = frustum_check(
+                tracker.cam, jnp.asarray(m.kf_pose[nb]),
+                pt_pos, pt_normal, pt_mind, pt_maxd,
+            )
+            lvl = predict_scale(
+                dist, pt_maxd / 1.2, self.cfg.orb.scale_factor,
+                self.cfg.orb.n_levels,
+            )
+            res = matching.search_by_projection_points(
+                pt_bits, visible & alive_j, uvr, lvl, view_cos,
+                jnp.asarray(d2.xy), jnp.asarray(d2.level),
+                unpack_bits(jnp.asarray(d2.desc_u8)),
+                jnp.asarray(d2.u_right), jnp.asarray(d2.semantic),
+                scales, th=3.0, nn_ratio=1.0,
+                accept_th=matching.TH_LOW,  # ref: Fuse accepts <= TH_LOW
+            )
+            results.append(res.src_for_dst)
+        fetched = jax.device_get(results)
+
+        replaced: dict[int, int] = {}
+        obs_counts = m.point_obs_counts()
+        for nb, src_for_dst in zip(neighbors, fetched):
+            src = np.asarray(src_for_dst)
+            nb_pts = self._kf_point_ids(nb)
+            hit_kp = np.where(src >= 0)[0]
+            add_pt, add_kp = [], []
+            for kp in hit_kp:
+                pid = int(pad[src[kp]])
+                if not m.pt_valid[pid]:
+                    continue
+                pid = replaced.get(pid, pid)
+                existing = int(nb_pts[kp])
+                if existing < 0:
+                    add_pt.append(pid)
+                    add_kp.append(kp)
+                elif existing != pid and m.pt_valid[existing]:
+                    # merge: keep the more-observed point
+                    # (ref: MapPoint.cc:225-261 Replace)
+                    keep, kill = (
+                        (existing, pid)
+                        if obs_counts[existing] >= obs_counts[pid]
+                        else (pid, existing)
+                    )
+                    m.replace_point(kill, keep)
+                    replaced[kill] = keep
+            if add_pt:
+                m.add_observations(
+                    nb, np.asarray(add_pt, np.int64),
+                    np.asarray(add_kp, np.int64),
+                )
+        if replaced:
+            from sivo_tpu.runtime import device_map as dm
+
+            kill_ids = np.full(4096, -1, np.int32)
+            kk = list(replaced.keys())[:4096]
+            kill_ids[: len(kk)] = kk
+            tracker.dmap = dm.invalidate_points(
+                tracker.dmap, jnp.asarray(kill_ids)
+            )
 
     # -- triangulation --------------------------------------------------------
 
