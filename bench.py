@@ -1,16 +1,17 @@
 """End-to-end benchmark: SIVO frames/sec on one TPU chip.
 
-Runs the full per-frame pipeline (Bayesian SegNet MC-dropout semantics,
-ORB stereo front end, entropy-gated tracking with pose LM) at KITTI
-geometry (1024x352, 2000 features, MC=3) on a synthetic corridor
-sequence, and reports steady-state FPS.
+Runs the FULL pipeline (Bayesian SegNet MC-dropout semantics, ORB
+stereo front end, entropy-gated tracking with pose LM, local mapping
+with triangulation + Schur BA + culling) at KITTI geometry (1024x352,
+2000 features, MC=3) on a synthetic corridor sequence, and reports
+steady-state FPS with a per-stage breakdown.
 
 Baseline: the KITTI camera rate of 10 FPS that the reference paces to
 (ref: config/kitti/KITTI00-02.yaml:22, src/sivo.cc:115-123) and does
 NOT meet ("does not quite run in real time", README.md:40-42) on an
 i7 + TitanX. vs_baseline = fps / 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -27,10 +28,8 @@ import numpy as np
 def main() -> None:
     from sivo_tpu.config import SystemConfig
     from sivo_tpu.io import synthetic
-    from sivo_tpu.models import segnet
     from sivo_tpu.runtime import frame as frame_mod
-    from sivo_tpu.runtime.map_state import MapState
-    from sivo_tpu.runtime.tracking import Tracker
+    from sivo_tpu.runtime.system import System
 
     cfg = SystemConfig()  # KITTI03 defaults: 1024x352, fx=721.5, 2000 feats
     cfg = dataclasses.replace(
@@ -39,13 +38,7 @@ def main() -> None:
             cfg.semantic, th_entropy_reduction=1.0
         ),
     )
-    statics = frame_mod.make_statics(cfg)
-    model = segnet.SegNet(variant="basic")
-    params = segnet.init_params(
-        model, jax.random.key(0), cfg.camera.height, cfg.camera.width
-    )
-
-    n_frames = 24
+    n_frames = 28
     world = synthetic.make_world(
         cfg.camera, seed=0, half_width=12.0, length=240.0
     )
@@ -63,46 +56,52 @@ def main() -> None:
     ent_r = jnp.full(left[0].shape, 0.05, jnp.float32)
     use_cnn = jnp.asarray(False)
 
-    mp = MapState(
-        max_keyframes=256,
-        max_points=100_000,
-        kp_capacity=cfg.orb.max_keypoints,
-    )
-    tracker = Tracker(cfg=cfg, map=mp)
+    system = System(cfg=cfg, max_keyframes=256, max_points=131072)
 
     def run_frame(i: int) -> None:
-        f = frame_mod.build_frame(
-            model, params, statics,
-            jnp.asarray(left_color[i]),
-            jnp.asarray(right[i]),
-            jax.random.key(i),
-            sem_override=(
-                jnp.asarray(clsmaps[i]), conf_r, ent_r, use_cnn
-            ),
-        )
-        tracker.track(f, timestamp=i * 0.1)
+        with system.timer.stage("build_frame"):
+            f = frame_mod.build_frame(
+                system.model, system.segnet_params, system.statics,
+                jnp.asarray(left_color[i]),
+                jnp.asarray(right[i]),
+                jax.random.key(i),
+                sem_override=(
+                    jnp.asarray(clsmaps[i]), conf_r, ent_r, use_cnn
+                ),
+            )
+        system.track_frame(f, timestamp=i * 0.1)
 
-    # warmup: initialize + compile every program variant — keep going
-    # until the keyframe pipeline (mapping, triangulation, BA) has
-    # compiled at least twice so the timed window has no compiles
+    # warmup: compile every program variant — continue until the
+    # keyframe pipeline (mapping, triangulation, BA) has run twice
     warm = 0
     kf_events = 0
-    while warm < n_frames - 8 and (warm < 4 or kf_events < 2):
-        kf_before = mp.n_keyframes
+    while warm < n_frames - 10 and (warm < 4 or kf_events < 2):
+        kf_before = system.map.n_keyframes
         run_frame(warm)
-        if mp.n_keyframes > kf_before:
+        if system.map.n_keyframes > kf_before:
             kf_events += 1
         warm += 1
+    system.timer.totals.clear()
+    system.timer.counts.clear()
+    system.timer.samples.clear()
 
     t0 = time.time()
     for i in range(warm, n_frames):
         run_frame(i)
-    # force full sync
-    _ = np.asarray(tracker.last_pose)
+    _ = np.asarray(system.tracker.last_pose)  # full sync
     dt = (time.time() - t0) / max(n_frames - warm, 1)
     fps = 1.0 / dt
 
-    n_lost = sum(1 for r in tracker.trajectory if r.lost)
+    est = system.frame_poses()
+    ate = synthetic.ate_rmse(est, gt[: len(est)])
+    stage_ms = {
+        name: round(
+            1000 * system.timer.totals[name]
+            / max(system.timer.counts[name], 1),
+            1,
+        )
+        for name in system.timer.totals
+    }
     result = {
         "metric": "kitti_geometry_sivo_fps",
         "value": round(fps, 2),
@@ -110,10 +109,13 @@ def main() -> None:
         "vs_baseline": round(fps / 10.0, 3),
         "detail": {
             "frames": n_frames,
-            "lost": n_lost,
-            "keyframes": tracker.map.n_keyframes,
-            "map_points": tracker.map.n_points,
+            "warmup": warm,
+            "lost": system.n_lost(),
+            "keyframes": system.map.n_keyframes,
+            "map_points": system.map.n_points,
+            "ate_m": round(float(ate), 3),
             "ms_per_frame": round(dt * 1000, 1),
+            "stage_mean_ms": stage_ms,
         },
     }
     print(json.dumps(result))

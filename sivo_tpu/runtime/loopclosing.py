@@ -295,7 +295,9 @@ class LoopCloser:
             edge_valid=jnp.ones(E, bool),
         )
         s, R, t = pose_graph.optimize_essential_graph(prob)
-        out = jax.device_get({"s": s, "R": R, "t": t})
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        out = fetch_packed({"s": s, "R": R, "t": t})
         # SE3 recovery + point correction through reference keyframes
         # (ref: Optimizer.cc:1188-1233)
         for k in range(K):

@@ -38,18 +38,31 @@ class LocalMapper:
     cfg: SystemConfig
     map: MapState
     cam: CameraParams
+    timer: object = None  # optional StageTimer
+
+    def _stage(self, name: str):
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
 
     def process_keyframe(
         self, tracker, kf_idx: int
     ) -> None:
         """Run the mapping pipeline for a freshly inserted keyframe
         (ref: LocalMapping.cc:55-114 Run loop body)."""
-        self._cull_points(tracker, kf_idx)
+        with self._stage("map.cull_points"):
+            self._cull_points(tracker, kf_idx)
         if self.map.n_keyframes >= 2:
-            self._create_new_points(tracker, kf_idx)
-            self._fuse_neighbors(tracker, kf_idx)
-            self._local_ba(tracker, kf_idx)
-            self._cull_keyframes(kf_idx)
+            with self._stage("map.triangulate"):
+                self._create_new_points(tracker, kf_idx)
+            with self._stage("map.fuse"):
+                self._fuse_neighbors(tracker, kf_idx)
+            with self._stage("map.local_ba"):
+                self._local_ba(tracker, kf_idx)
+            with self._stage("map.cull_kfs"):
+                self._cull_keyframes(kf_idx)
 
     # -- fusion ---------------------------------------------------------------
 
@@ -114,7 +127,12 @@ class LocalMapper:
                 accept_th=matching.TH_LOW,  # ref: Fuse accepts <= TH_LOW
             )
             results.append(res.src_for_dst)
-        fetched = jax.device_get(results)
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        packed = fetch_packed(
+            {str(i): r for i, r in enumerate(results)}
+        )
+        fetched = [packed[str(i)] for i in range(len(results))]
 
         replaced: dict[int, int] = {}
         obs_counts = m.point_obs_counts()
@@ -233,7 +251,9 @@ class LocalMapper:
             self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
         )
-        out = jax.device_get(
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        out = fetch_packed(
             {"xw": res.xw, "kp2": res.kp2, "acc": res.accepted}
         )
         acc = np.asarray(out["acc"])  # (B, N)
@@ -328,7 +348,9 @@ class LocalMapper:
         points with found/visible ratio < 0.25 or too few observations
         shortly after creation."""
         m = self.map
-        counters = jax.device_get(
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        counters = fetch_packed(
             {
                 "found": tracker.dmap.pt_found,
                 "visible": tracker.dmap.pt_visible,
@@ -473,7 +495,9 @@ class LocalMapper:
         res = local_ba.local_bundle_adjustment(
             prob, jnp.int32(0), self.cam
         )
-        out = jax.device_get(
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        out = fetch_packed(
             {
                 "kf_pose": res.kf_pose,
                 "pt_pos": res.pt_pos,

@@ -52,9 +52,13 @@ class System:
             n_levels=self.cfg.orb.n_levels,
             scale_factor=self.cfg.orb.scale_factor,
         )
+        from sivo_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
         self.mapper = LocalMapper(
-            cfg=self.cfg, map=self.map, cam=self.tracker.cam
+            cfg=self.cfg, map=self.map, cam=self.tracker.cam,
+            timer=self.timer,
         )
         self.loop_closer = None
         if self.vocabulary is not None:
@@ -94,17 +98,22 @@ class System:
     def track_frame(self, f, timestamp: float) -> Optional[np.ndarray]:
         """Track a pre-built Frame (device pipelining entry)."""
         kf_before = self.map.n_keyframes
-        pose = self.tracker.track(f, timestamp)
-        if pose is None:
-            pose = self._relocalize(f, timestamp)
+        with self.timer.stage("track"):
+            pose = self.tracker.track(f, timestamp)
+            if pose is None:
+                pose = self._relocalize(f, timestamp)
         if self.map.n_keyframes > kf_before:
             kf_idx = self.map.n_keyframes - 1
             # mapping pipeline at keyframe rate
             # (ref: LocalMapping::Run, SURVEY §3.3)
-            self.mapper.process_keyframe(self.tracker, kf_idx)
+            with self.timer.stage("mapping"):
+                self.mapper.process_keyframe(self.tracker, kf_idx)
             # loop closing at keyframe rate (ref: LoopClosing::Run)
             if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(self.tracker, kf_idx)
+                with self.timer.stage("loop_closing"):
+                    self.loop_closer.process_keyframe(
+                        self.tracker, kf_idx
+                    )
         return pose
 
     def _relocalize(self, f, timestamp: float) -> Optional[np.ndarray]:

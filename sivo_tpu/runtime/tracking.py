@@ -328,8 +328,11 @@ class Tracker:
         combined_idx = jnp.where(new_ids >= 0, new_ids, pt_idx)
         self._kf_new_pt_idx = combined_idx
 
-        # host bookkeeping (one batched fetch on KF frames only)
-        host = jax.device_get(
+        # host bookkeeping: ONE packed transfer (per-buffer fetches
+        # cost ~100ms each through the relay)
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        host = fetch_packed(
             {
                 "xy": frame.xy,
                 "level": frame.level,
