@@ -217,16 +217,14 @@ class MapState:
         rewrite observations of ``kill`` to ``keep`` (dropping ones
         where the keyframe already observes ``keep``) and invalidate
         ``kill``."""
-        seen: set[tuple[int, int]] = set()
-        for i in range(len(self._obs_pt)):
-            if self._obs_pt[i] == keep:
-                seen.add((self._obs_kf[i], keep))
-        for i in range(len(self._obs_pt)):
-            if self._obs_pt[i] == kill:
-                key = (self._obs_kf[i], keep)
-                if key not in seen:
-                    self._obs_pt[i] = keep
-                    seen.add(key)
+        pt = np.asarray(self._obs_pt)
+        kf = np.asarray(self._obs_kf)
+        keep_kfs = set(kf[pt == keep].tolist())
+        for i in np.where(pt == kill)[0]:
+            k = int(kf[i])
+            if k not in keep_kfs:
+                self._obs_pt[i] = keep
+                keep_kfs.add(k)
         self.pt_valid[kill] = False
         self.pt_found[keep] += self.pt_found[kill]
         self.pt_visible[keep] += self.pt_visible[kill]
@@ -273,20 +271,40 @@ class MapState:
             np.add.at(counts, obs[:, 1], 1)
         return counts
 
+    def covisibility_matrix(self) -> "np.ndarray":
+        """(K, K) shared-point counts (ref: KeyFrame.cc:327-415
+        UpdateConnections), cached per observation-table version and
+        computed as one sparse incidence product."""
+        obs = self.observations()
+        version = (len(obs), id(self._obs_arr), self.n_keyframes)
+        if getattr(self, "_covis_version", None) == version:
+            return self._covis_cache
+        K = self.n_keyframes
+        if len(obs) == 0 or K == 0:
+            C = np.zeros((max(K, 1), max(K, 1)), np.int64)
+        else:
+            import scipy.sparse as sp
+
+            M = sp.csr_matrix(
+                (
+                    np.ones(len(obs), np.int64),
+                    (obs[:, 0], obs[:, 1]),
+                ),
+                shape=(K, self.max_points),
+            )
+            C = np.asarray((M @ M.T).todense())
+            np.fill_diagonal(C, 0)
+        self._covis_cache = C
+        self._covis_version = version
+        return C
+
     def covisibility(self, kf_idx: int) -> np.ndarray:
         """(K,) shared-point counts between ``kf_idx`` and every other
-        keyframe (ref: KeyFrame.cc:327-415 UpdateConnections)."""
-        obs = self.observations()
-        counts = np.zeros(self.n_keyframes, np.int64)
-        if len(obs) == 0:
-            return counts
-        my_pts = set(obs[obs[:, 0] == kf_idx][:, 1].tolist())
-        if not my_pts:
-            return counts
-        mask = np.isin(obs[:, 1], list(my_pts))
-        np.add.at(counts, obs[mask][:, 0], 1)
-        counts[kf_idx] = 0
-        return counts
+        keyframe."""
+        C = self.covisibility_matrix()
+        if kf_idx >= C.shape[0]:
+            return np.zeros(self.n_keyframes, np.int64)
+        return C[kf_idx][: self.n_keyframes]
 
     def local_keyframes(self, kf_idx: int, max_n: int = 80) -> np.ndarray:
         """Covisible keyframes ordered by weight (ref: Tracking.cc:

@@ -16,6 +16,8 @@ reference: SearchInNeighbors duplicate-point fusion
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 
 import jax
@@ -31,6 +33,45 @@ from sivo_tpu.runtime.map_state import MapState
 MAX_BA_KF = 16
 MAX_BA_PT = 8192
 MAX_BA_OBS = 16384
+FUSE_NEIGHBORS = 10
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
+)
+def _fuse_program(
+    pt_pos, pt_normal, pt_mind, pt_maxd, pt_desc_u8, pt_alive,
+    nb_pose,  # (B, 4, 4)
+    nb_xy, nb_level, nb_desc_u8, nb_ur, nb_sem,  # (B, N, ...)
+    cam, scale_factor: float, n_levels: int,
+):
+    """All fusion neighbors in ONE program (ref: ORBmatcher Fuse per
+    neighbor, LocalMapping.cc:547-637). Returns (B, N_kp) src index."""
+    from sivo_tpu.geometry.projection import frustum_check, predict_scale
+    from sivo_tpu.ops import matching
+    from sivo_tpu.runtime.device_map import unpack_bits
+
+    scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
+    pt_bits = unpack_bits(pt_desc_u8)
+
+    def one(pose, xy, level, desc_u8, ur, sem):
+        visible, uvr, dist, view_cos = frustum_check(
+            cam, pose, pt_pos, pt_normal, pt_mind, pt_maxd
+        )
+        lvl = predict_scale(
+            dist, pt_maxd / 1.2, scale_factor, n_levels
+        )
+        res = matching.search_by_projection_points(
+            pt_bits, visible & pt_alive, uvr, lvl, view_cos,
+            xy, level, unpack_bits(desc_u8), ur, sem,
+            scales, th=3.0, nn_ratio=1.0,
+            accept_th=matching.TH_LOW,
+        )
+        return res.src_for_dst
+
+    return jax.vmap(one)(
+        nb_pose, nb_xy, nb_level, nb_desc_u8, nb_ur, nb_sem
+    )
 
 
 @dataclass
@@ -96,75 +137,78 @@ class LocalMapper:
         alive = np.zeros(P_CAP, bool)
         alive[: len(pt_ids)] = m.pt_valid[pad[: len(pt_ids)]]
 
-        scales = jnp.asarray(
-            self.cfg.orb.scale_factor
-            ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
-        )
-        pt_pos = jnp.asarray(m.pt_pos[pad])
-        pt_normal = jnp.asarray(m.pt_normal[pad])
-        pt_mind = jnp.asarray(m.pt_min_dist[pad])
-        pt_maxd = jnp.asarray(m.pt_max_dist[pad])
-        pt_bits = unpack_bits(jnp.asarray(m.pt_desc_u8[pad]))
-        alive_j = jnp.asarray(alive)
-
-        results = []
-        for nb in neighbors:
+        B = FUSE_NEIGHBORS
+        N = m.kp_capacity
+        neighbors = neighbors[:B]
+        nb_pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        nb_xy = np.zeros((B, N, 2), np.float32)
+        nb_level = np.zeros((B, N), np.int32)
+        nb_desc = np.zeros((B, N, 32), np.uint8)
+        nb_ur = np.full((B, N), -1.0, np.float32)
+        nb_sem = np.zeros((B, N), bool)
+        for i, nb in enumerate(neighbors):
             d2 = m.kf_data[nb]
-            visible, uvr, dist, view_cos = frustum_check(
-                tracker.cam, jnp.asarray(m.kf_pose[nb]),
-                pt_pos, pt_normal, pt_mind, pt_maxd,
-            )
-            lvl = predict_scale(
-                dist, pt_maxd / 1.2, self.cfg.orb.scale_factor,
-                self.cfg.orb.n_levels,
-            )
-            res = matching.search_by_projection_points(
-                pt_bits, visible & alive_j, uvr, lvl, view_cos,
-                jnp.asarray(d2.xy), jnp.asarray(d2.level),
-                unpack_bits(jnp.asarray(d2.desc_u8)),
-                jnp.asarray(d2.u_right), jnp.asarray(d2.semantic),
-                scales, th=3.0, nn_ratio=1.0,
-                accept_th=matching.TH_LOW,  # ref: Fuse accepts <= TH_LOW
-            )
-            results.append(res.src_for_dst)
-        from sivo_tpu.utils.fetch import fetch_packed
-
-        packed = fetch_packed(
-            {str(i): r for i, r in enumerate(results)}
+            nb_pose[i] = m.kf_pose[nb]
+            nb_xy[i] = d2.xy
+            nb_level[i] = d2.level
+            nb_desc[i] = d2.desc_u8
+            nb_ur[i] = d2.u_right
+            nb_sem[i] = d2.semantic
+        src_all = _fuse_program(
+            jnp.asarray(m.pt_pos[pad]),
+            jnp.asarray(m.pt_normal[pad]),
+            jnp.asarray(m.pt_min_dist[pad]),
+            jnp.asarray(m.pt_max_dist[pad]),
+            jnp.asarray(m.pt_desc_u8[pad]),
+            jnp.asarray(alive),
+            jnp.asarray(nb_pose), jnp.asarray(nb_xy),
+            jnp.asarray(nb_level), jnp.asarray(nb_desc),
+            jnp.asarray(nb_ur), jnp.asarray(nb_sem),
+            tracker.cam, self.cfg.orb.scale_factor,
+            self.cfg.orb.n_levels,
         )
-        fetched = [packed[str(i)] for i in range(len(results))]
+        fetched = list(np.asarray(jax.device_get(src_all)))
 
         replaced: dict[int, int] = {}
         obs_counts = m.point_obs_counts()
+        max_merges = 50  # bound the O(obs) Replace rewrites per KF
         for nb, src_for_dst in zip(neighbors, fetched):
             src = np.asarray(src_for_dst)
             nb_pts = self._kf_point_ids(nb)
             hit_kp = np.where(src >= 0)[0]
-            add_pt, add_kp = [], []
-            for kp in hit_kp:
-                pid = int(pad[src[kp]])
-                if not m.pt_valid[pid]:
+            if len(hit_kp) == 0:
+                continue
+            pid = pad[src[hit_kp]].astype(np.int64)
+            ok = m.pt_valid[pid]
+            hit_kp, pid = hit_kp[ok], pid[ok]
+            existing = nb_pts[hit_kp]
+            # free keypoints -> new cross observations (vectorized)
+            free = existing < 0
+            if free.any():
+                m.add_observations(nb, pid[free], hit_kp[free])
+            # conflicts -> merge (rare; bounded python loop)
+            conf = (~free) & (existing != pid) & m.pt_valid[
+                np.maximum(existing, 0)
+            ]
+            for kp_i, p_i, e_i in zip(
+                hit_kp[conf][:max_merges],
+                pid[conf][:max_merges],
+                existing[conf][:max_merges],
+            ):
+                p_i = replaced.get(int(p_i), int(p_i))
+                e_i = replaced.get(int(e_i), int(e_i))
+                if p_i == e_i or not (
+                    m.pt_valid[p_i] and m.pt_valid[e_i]
+                ):
                     continue
-                pid = replaced.get(pid, pid)
-                existing = int(nb_pts[kp])
-                if existing < 0:
-                    add_pt.append(pid)
-                    add_kp.append(kp)
-                elif existing != pid and m.pt_valid[existing]:
-                    # merge: keep the more-observed point
-                    # (ref: MapPoint.cc:225-261 Replace)
-                    keep, kill = (
-                        (existing, pid)
-                        if obs_counts[existing] >= obs_counts[pid]
-                        else (pid, existing)
-                    )
-                    m.replace_point(kill, keep)
-                    replaced[kill] = keep
-            if add_pt:
-                m.add_observations(
-                    nb, np.asarray(add_pt, np.int64),
-                    np.asarray(add_kp, np.int64),
+                # keep the more-observed (ref: MapPoint.cc:225-261)
+                keep, kill = (
+                    (e_i, p_i)
+                    if obs_counts[e_i] >= obs_counts[p_i]
+                    else (p_i, e_i)
                 )
+                m.replace_point(kill, keep)
+                replaced[kill] = keep
         if replaced:
             from sivo_tpu.runtime import device_map as dm
 

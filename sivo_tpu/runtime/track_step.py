@@ -42,7 +42,10 @@ from sivo_tpu.runtime.frame import Frame
 from sivo_tpu.select import info as info_ops
 from sivo_tpu.utils.precision import hmat
 
-LOCAL_CAND = 16384  # frustum candidate cap
+LOCAL_CAND = 4096  # frustum candidate cap (nearest-first top-k; local
+#                    maps rarely exceed a few thousand visible points,
+#                    and the [cand, kp] match matrices dominate the
+#                    per-frame HBM traffic)
 
 
 class TrackCarry(NamedTuple):
