@@ -45,31 +45,39 @@ def partition_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     observations sort by obs_pt). Padding keeps shapes divisible."""
     import numpy as np
 
-    obs_pt = np.asarray(prob.obs_pt)
-    order = np.argsort(obs_pt, kind="stable")
-
-    def take_obs(x):
-        return jnp.asarray(np.asarray(x)[order])
-
     P_total = prob.pt_pos.shape[0]
     O_total = prob.obs_kf.shape[0]
     assert P_total % n_shards == 0, "pad pt capacity to n_shards"
     assert O_total % n_shards == 0, "pad obs capacity to n_shards"
-    # assign each sorted obs to the shard that owns its point; pad by
-    # marking cross-shard leftovers invalid (rare: points are dense in
-    # [0, n_points) and obs sorted by point)
-    pt_shard = np.asarray(prob.obs_pt)[order] // (P_total // n_shards)
-    obs_shard = np.repeat(
-        np.arange(n_shards), O_total // n_shards
-    )
-    ok = pt_shard == obs_shard
+    P_loc = P_total // n_shards
+    O_loc = O_total // n_shards
+
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_ok = np.asarray(prob.obs_valid)
+    # slot indices: shard s's observations occupy [s*O_loc, (s+1)*O_loc)
+    perm = np.zeros(O_total, np.int64)  # destination slot -> source obs
+    valid_out = np.zeros(O_total, bool)
+    for s in range(n_shards):
+        src = np.where(
+            obs_ok
+            & (obs_pt >= s * P_loc)
+            & (obs_pt < (s + 1) * P_loc)
+        )[0]
+        n = min(len(src), O_loc)  # overflow beyond O_loc is dropped
+        dst = s * O_loc
+        perm[dst : dst + n] = src[:n]
+        valid_out[dst : dst + n] = True
+
+    def take_obs(x):
+        return jnp.asarray(np.asarray(x)[perm])
+
     return prob._replace(
         obs_kf=take_obs(prob.obs_kf),
         obs_pt=take_obs(prob.obs_pt),
         obs_uvr=take_obs(prob.obs_uvr),
         obs_sigma2=take_obs(prob.obs_sigma2),
         obs_is_stereo=take_obs(prob.obs_is_stereo),
-        obs_valid=take_obs(prob.obs_valid) & jnp.asarray(ok),
+        obs_valid=jnp.asarray(valid_out),
     )
 
 
