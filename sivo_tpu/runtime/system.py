@@ -96,25 +96,43 @@ class System:
         return self.track_frame(f, timestamp)
 
     def track_frame(self, f, timestamp: float) -> Optional[np.ndarray]:
-        """Track a pre-built Frame (device pipelining entry)."""
+        """Track a pre-built Frame (device pipelining entry).
+
+        Keyframe-rate work (mapping, BA, loop closing) is DEFERRED one
+        frame and executed while the next frame's tracking program runs
+        on device — the async-dispatch equivalent of the reference's
+        LocalMapping/LoopClosing threads (SURVEY §2.3 item 1).
+        """
         kf_before = self.map.n_keyframes
         with self.timer.stage("track"):
-            pose = self.tracker.track(f, timestamp)
+            pose = self.tracker.track(
+                f, timestamp, overlap_work=self._process_pending
+            )
             if pose is None:
+                self._process_pending()
                 pose = self._relocalize(f, timestamp)
         if self.map.n_keyframes > kf_before:
-            kf_idx = self.map.n_keyframes - 1
-            # mapping pipeline at keyframe rate
-            # (ref: LocalMapping::Run, SURVEY §3.3)
-            with self.timer.stage("mapping"):
-                self.mapper.process_keyframe(self.tracker, kf_idx)
-            # loop closing at keyframe rate (ref: LoopClosing::Run)
-            if self.loop_closer is not None:
-                with self.timer.stage("loop_closing"):
-                    self.loop_closer.process_keyframe(
-                        self.tracker, kf_idx
-                    )
+            self._pending_kf = self.map.n_keyframes - 1
         return pose
+
+    def _process_pending(self) -> None:
+        """Run the deferred keyframe pipeline (mapping + loop closing)."""
+        kf_idx = getattr(self, "_pending_kf", None)
+        if kf_idx is None:
+            return
+        self._pending_kf = None
+        # mapping pipeline (ref: LocalMapping::Run, SURVEY §3.3)
+        with self.timer.stage("mapping"):
+            self.mapper.process_keyframe(self.tracker, kf_idx)
+        # loop closing (ref: LoopClosing::Run)
+        if self.loop_closer is not None:
+            with self.timer.stage("loop_closing"):
+                self.loop_closer.process_keyframe(self.tracker, kf_idx)
+
+    def flush(self) -> None:
+        """Complete any deferred keyframe work (call before reading the
+        map or shutting down)."""
+        self._process_pending()
 
     def _relocalize(self, f, timestamp: float) -> Optional[np.ndarray]:
         """Relocalization from the keyframe database
@@ -251,6 +269,7 @@ class System:
     def frame_poses(self) -> np.ndarray:
         """Final per-frame poses re-chained through (BA-corrected)
         reference keyframes (ref: System.cc:303-321)."""
+        self.flush()
         recs = self.tracker.trajectory
         if not recs:
             return np.zeros((0, 4, 4), np.float32)
@@ -266,6 +285,7 @@ class System:
 
     def shutdown(self, counts_path: str = "keyframes_points.txt") -> None:
         """ref: System.cc:245-272."""
+        self.flush()
         n_pts = int(self.map.pt_valid[: self.map.n_points].sum())
         traj_io.save_keyframes_points(
             counts_path, self.map.n_keyframes, n_pts

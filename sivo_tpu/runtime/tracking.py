@@ -110,9 +110,21 @@ class Tracker:
 
     # -- public API ---------------------------------------------------------
 
-    def track(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+    def track(
+        self,
+        frame: Frame,
+        timestamp: float,
+        overlap_work=None,
+    ) -> Optional[np.ndarray]:
         """Process one frame; returns Tcw or None if lost
-        (ref: Tracking.cc:229-451 Track())."""
+        (ref: Tracking.cc:229-451 Track()).
+
+        ``overlap_work``: optional host callback executed between the
+        tracking dispatch and the summary fetch — deferred keyframe-rate
+        work (mapping/BA) runs here so its host time overlaps the
+        device's frame computation (the reference gets the same overlap
+        from its LocalMapping thread, SURVEY §2.3 item 1).
+        """
         fid = self.frame_count
         self.frame_count += 1
 
@@ -120,6 +132,8 @@ class Tracker:
             TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED
         ):
             ok = self._stereo_initialization(frame, timestamp, fid)
+            if overlap_work is not None:
+                overlap_work()
             return self.last_pose if ok else None
 
         # motion model only with a velocity estimate; otherwise go
@@ -139,8 +153,14 @@ class Tracker:
                 float(self.cfg.tracking.motion_search_th),
             )
             self.dmap = result.dmap
+            if overlap_work is not None:
+                overlap_work()  # host work while the device tracks
+                overlap_work = None
             summary = np.asarray(jax.device_get(result.summary))  # 1 fetch
 
+        if overlap_work is not None:
+            overlap_work()
+            overlap_work = None
         if summary is None or summary[ts.S_OK] < 0.5:
             # reference-KF fallback (ref: Tracking.cc:597-639)
             result = ts.fallback_step(
