@@ -134,6 +134,18 @@ class System:
         map or shutting down)."""
         self._process_pending()
 
+    def activate_localization_mode(self) -> None:
+        """Track against the frozen map without inserting keyframes
+        (ref: System.cc:220-231 ActivateLocalizationMode). Combine with
+        io.serialization.load_map for map reuse — a capability the
+        reference only offers in-memory (README.md:130-135)."""
+        self.flush()
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self) -> None:
+        """ref: System.cc:233-243."""
+        self.tracker.only_tracking = False
+
     def _relocalize(self, f, timestamp: float) -> Optional[np.ndarray]:
         """Relocalization from the keyframe database
         (ref: Tracking.cc:1237-1396): BoW candidates -> brute-force

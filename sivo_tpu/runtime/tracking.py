@@ -92,6 +92,10 @@ class Tracker:
     last_kf_id: int = -1
     last_kf_frame_id: int = -1
     trajectory: list = field(default_factory=list)
+    # localization mode: track against the frozen map, never insert
+    # keyframes (ref: Tracking.cc mbOnlyTracking via
+    # System::ActivateLocalizationMode, System.cc:220-243)
+    only_tracking: bool = False
 
     def __post_init__(self):
         self.cam = make_camera(self.cfg)
@@ -277,6 +281,8 @@ class Tracker:
     def _need_new_keyframe(self, summary: np.ndarray, fid: int) -> bool:
         """ref: Tracking.cc:825-919 with the SIVO 30/70 close-point rule
         (Tracking.cc:872-874)."""
+        if self.only_tracking:  # ref: Tracking.cc:826-828
+            return False
         cfg = self.cfg.tracking
         n_tracked = summary[ts.S_N_TRACKED]
         n_ref = summary[ts.S_N_REF]
