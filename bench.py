@@ -94,6 +94,21 @@ def main() -> None:
 
     est = system.frame_poses()
     ate = synthetic.ate_rmse(est, gt[: len(est)])
+
+    # relay calibration: the TPU sits behind a shared relay whose
+    # dispatch/fetch costs vary with contention; these two numbers let
+    # runs be compared fairly (dispatch floor + fixed matmul)
+    calib_x = jnp.ones((2048, 2048), jnp.float32)
+    _ = float((calib_x @ calib_x).reshape(-1)[0])
+    t0 = time.time()
+    for _i in range(10):
+        _ = float(jnp.sum(calib_x[:1, :1]))
+    disp_ms = (time.time() - t0) / 10 * 1000
+    t0 = time.time()
+    for _i in range(10):
+        calib_y = calib_x @ calib_x
+    _ = float(calib_y.reshape(-1)[0])
+    mm_ms = (time.time() - t0) / 10 * 1000
     stage_ms = {
         name: round(
             1000 * system.timer.totals[name]
@@ -116,6 +131,10 @@ def main() -> None:
             "ate_m": round(float(ate), 3),
             "ms_per_frame": round(dt * 1000, 1),
             "stage_mean_ms": stage_ms,
+            "relay_calibration": {
+                "dispatch_fetch_ms": round(disp_ms, 2),
+                "matmul_2048_ms": round(mm_ms, 2),
+            },
         },
     }
     print(json.dumps(result))

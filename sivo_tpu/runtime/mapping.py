@@ -31,8 +31,8 @@ from sivo_tpu.runtime import device_map
 from sivo_tpu.runtime.map_state import MapState
 
 MAX_BA_KF = 16
-MAX_BA_PT = 8192
-MAX_BA_OBS = 16384
+MAX_BA_PT = 4096  # covisible-window points (recent-first beyond this)
+MAX_BA_OBS = 8192
 FUSE_NEIGHBORS = 10
 
 
