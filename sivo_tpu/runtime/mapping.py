@@ -92,14 +92,34 @@ class LocalMapper:
         self, tracker, kf_idx: int
     ) -> None:
         """Run the mapping pipeline for a freshly inserted keyframe
-        (ref: LocalMapping.cc:55-114 Run loop body)."""
+        (ref: LocalMapping.cc:55-114 Run loop body).
+
+        Fetch discipline: culling counters, triangulation and fusion
+        are mutually independent device programs — they dispatch
+        together and their outputs come back in ONE packed transfer
+        (the relay charges ~100ms per round trip under load); local BA
+        depends on their host updates and forms the second round trip.
+        """
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        with self._stage("map.phase1_dispatch"):
+            outs = {}
+            ctx_cull = self._cull_dispatch(tracker, outs)
+            ctx_tri = ctx_fuse = None
+            if self.map.n_keyframes >= 2:
+                ctx_tri = self._tri_dispatch(tracker, kf_idx, outs)
+                ctx_fuse = self._fuse_dispatch(tracker, kf_idx, outs)
+        with self._stage("map.phase1_fetch"):
+            fetched = fetch_packed(outs)
         with self._stage("map.cull_points"):
-            self._cull_points(tracker, kf_idx)
-        if self.map.n_keyframes >= 2:
+            self._cull_apply(tracker, kf_idx, ctx_cull, fetched)
+        if ctx_tri is not None:
             with self._stage("map.triangulate"):
-                self._create_new_points(tracker, kf_idx)
+                self._tri_apply(tracker, kf_idx, ctx_tri, fetched)
+        if ctx_fuse is not None:
             with self._stage("map.fuse"):
-                self._fuse_neighbors(tracker, kf_idx)
+                self._fuse_apply(tracker, kf_idx, ctx_fuse, fetched)
+        if self.map.n_keyframes >= 2:
             with self._stage("map.local_ba"):
                 self._local_ba(tracker, kf_idx)
             with self._stage("map.cull_kfs"):
@@ -107,19 +127,10 @@ class LocalMapper:
 
     # -- fusion ---------------------------------------------------------------
 
-    def _fuse_neighbors(self, tracker, kf_idx: int) -> None:
-        """SearchInNeighbors (ref: LocalMapping.cc:547-637 + ORBmatcher
-        Fuse :787-930): project the new keyframe's map points into its
-        covisible neighbors; a hit on a keypoint that already has a
-        DIFFERENT point merges the two (keep the more-observed,
-        ref: MapPoint::Replace), a hit on a free keypoint adds an
-        observation. One batched device program for all neighbors."""
-        from sivo_tpu.geometry.projection import (
-            frustum_check, predict_scale,
-        )
-        from sivo_tpu.ops import matching
-        from sivo_tpu.runtime.device_map import unpack_bits
-
+    def _fuse_dispatch(self, tracker, kf_idx: int, outs: dict):
+        """SearchInNeighbors device phase (ref: LocalMapping.cc:547-637
+        + ORBmatcher Fuse :787-930): project the new keyframe's map
+        points into its covisible neighbors, batched."""
         m = self.map
         covis = m.covisibility(kf_idx)
         order = np.argsort(-covis)
@@ -167,7 +178,18 @@ class LocalMapper:
             tracker.cam, self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
         )
-        fetched = list(np.asarray(jax.device_get(src_all)))
+        outs["fuse_src"] = src_all
+        return {"neighbors": neighbors, "pad": pad}
+
+    def _fuse_apply(
+        self, tracker, kf_idx: int, ctx: dict, fetched_all: dict
+    ) -> None:
+        """Fusion host phase: add cross observations, merge duplicates
+        (ref: MapPoint::Replace)."""
+        m = self.map
+        neighbors = ctx["neighbors"]
+        pad = ctx["pad"]
+        fetched = list(fetched_all["fuse_src"])
 
         replaced: dict[int, int] = {}
         obs_counts = m.point_obs_counts()
@@ -229,12 +251,11 @@ class LocalMapper:
             out[mine[:, 2]] = mine[:, 1]
         return out
 
-    def _create_new_points(self, tracker, kf_idx: int) -> None:
-        """CreateNewMapPoints (ref: LocalMapping.cc:198-472): epipolar
-        triangulation against the top covisible neighbors, gated by
-        CheckSemantics. One device program per neighbor pair."""
+    def _tri_dispatch(self, tracker, kf_idx: int, outs: dict):
+        """CreateNewMapPoints device phase (ref: LocalMapping.cc:
+        198-472): batched epipolar triangulation dispatch against the
+        top covisible neighbors, gated by CheckSemantics."""
         from sivo_tpu.ops import triangulation as tri
-        from sivo_tpu.runtime import device_map
 
         m = self.map
         covis = m.covisibility(kf_idx)
@@ -295,11 +316,28 @@ class LocalMapper:
             self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
         )
-        from sivo_tpu.utils.fetch import fetch_packed
+        outs["tri_xw"] = res.xw
+        outs["tri_kp2"] = res.kp2
+        outs["tri_acc"] = res.accepted
+        return {"d1": d1, "c1": c1, "neighbors": neighbors[:B]}
 
-        out = fetch_packed(
-            {"xw": res.xw, "kp2": res.kp2, "acc": res.accepted}
-        )
+    def _tri_apply(
+        self, tracker, kf_idx: int, ctx: dict, fetched: dict
+    ) -> None:
+        """Triangulation host phase: create accepted points on host and
+        device."""
+        from sivo_tpu.runtime import device_map
+
+        m = self.map
+        d1 = ctx["d1"]
+        c1 = ctx["c1"]
+        neighbors = ctx["neighbors"]
+        N = m.kp_capacity
+        out = {
+            "xw": fetched["tri_xw"],
+            "kp2": fetched["tri_kp2"],
+            "acc": fetched["tri_acc"],
+        }
         acc = np.asarray(out["acc"])  # (B, N)
         # first accepting neighbor wins each kp1 slot
         first_nb = np.argmax(acc, axis=0)
@@ -318,7 +356,7 @@ class LocalMapper:
             kp1_idx,
             d1.level[kp1_idx],
         )
-        for i, nb in enumerate(neighbors[:B]):
+        for i, nb in enumerate(neighbors):
             sel = nb_of == i
             if sel.any():
                 m.add_observations(nb, ids[sel], kp2_idx[sel])
@@ -387,28 +425,29 @@ class LocalMapper:
 
     # -- point culling ------------------------------------------------------
 
-    def _cull_points(self, tracker, kf_idx: int) -> None:
+    def _cull_dispatch(self, tracker, outs: dict):
+        """MapPointCulling device phase: the counters to fetch."""
+        outs["cull_found"] = tracker.dmap.pt_found
+        outs["cull_visible"] = tracker.dmap.pt_visible
+        outs["cull_obs"] = tracker.dmap.pt_obs_count
+        outs["cull_valid"] = tracker.dmap.pt_valid
+        return {}
+
+    def _cull_apply(
+        self, tracker, kf_idx: int, ctx: dict, fetched: dict
+    ) -> None:
         """MapPointCulling (ref: LocalMapping.cc:165-196): kill recent
         points with found/visible ratio < 0.25 or too few observations
         shortly after creation."""
         m = self.map
-        from sivo_tpu.utils.fetch import fetch_packed
-
-        counters = fetch_packed(
-            {
-                "found": tracker.dmap.pt_found,
-                "visible": tracker.dmap.pt_visible,
-                "obs": tracker.dmap.pt_obs_count,
-                "valid": tracker.dmap.pt_valid,
-            }
-        )
         n = m.n_points
-        found = np.asarray(counters["found"])[:n].astype(np.float32)
+        found = np.asarray(fetched["cull_found"])[:n].astype(np.float32)
         visible = np.maximum(
-            np.asarray(counters["visible"])[:n].astype(np.float32), 1.0
+            np.asarray(fetched["cull_visible"])[:n].astype(np.float32),
+            1.0,
         )
-        obs = np.asarray(counters["obs"])[:n]
-        valid = np.asarray(counters["valid"])[:n]
+        obs = np.asarray(fetched["cull_obs"])[:n]
+        valid = np.asarray(fetched["cull_valid"])[:n]
         first = m.pt_first_kf[:n]
         age = kf_idx - first  # in keyframes
         ratio_bad = (found / visible) < self.cfg.mapping.found_ratio_min
