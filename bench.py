@@ -93,7 +93,19 @@ def main() -> None:
     fps = 1.0 / dt
 
     est = system.frame_poses()
+    est = est[: len(gt)]
     ate = synthetic.ate_rmse(est, gt[: len(est)])
+
+    # pure-tracking FPS: localization mode against the built map
+    # (no keyframe pipeline) — the per-frame hot path in isolation
+    system.activate_localization_mode()
+    t0 = time.time()
+    n_loc = 8
+    for i in range(n_frames - n_loc, n_frames):
+        run_frame(i)
+    _ = np.asarray(system.tracker.last_pose)
+    fps_tracking = n_loc / (time.time() - t0)
+    system.deactivate_localization_mode()
 
     # relay calibration: the TPU sits behind a shared relay whose
     # dispatch/fetch costs vary with contention; these two numbers let
@@ -130,6 +142,7 @@ def main() -> None:
             "map_points": system.map.n_points,
             "ate_m": round(float(ate), 3),
             "ms_per_frame": round(dt * 1000, 1),
+            "tracking_only_fps": round(fps_tracking, 2),
             "stage_mean_ms": stage_ms,
             "relay_calibration": {
                 "dispatch_fetch_ms": round(disp_ms, 2),

@@ -186,12 +186,20 @@ def transform(
     )
 
 
+_HOST_WEIGHTS_CACHE: dict[int, np.ndarray] = {}
+
+
 def bow_vector(voc: Vocabulary, words: jnp.ndarray) -> dict[int, float]:
     """Host-side sparse TF-IDF BoW vector, L1-normalized
     (ref: BowVector::addWeight + normalize(L1))."""
     w = np.asarray(words)
     w = w[w >= 0]
-    weights = np.asarray(voc.word_weights)
+    key = id(voc.word_weights)
+    weights = _HOST_WEIGHTS_CACHE.get(key)
+    if weights is None:
+        weights = np.asarray(voc.word_weights)
+        _HOST_WEIGHTS_CACHE.clear()
+        _HOST_WEIGHTS_CACHE[key] = weights
     vec: dict[int, float] = {}
     for wid in w.tolist():
         vec[wid] = vec.get(wid, 0.0) + float(weights[wid])
