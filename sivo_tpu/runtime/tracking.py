@@ -111,6 +111,13 @@ class Tracker:
         self.last_pose = np.eye(4, dtype=np.float32)
         self.last_cov = np.eye(6, dtype=np.float32) * 1e-6
         self._has_velocity = False
+        # per-run constant device scalars (every upload pays relay RTT)
+        self._th_entropy_dev = jnp.float32(
+            self.cfg.semantic.th_entropy_reduction
+        )
+        self._min_obs_dev = {
+            2: jnp.int32(2), 3: jnp.int32(3)
+        }
 
     # -- public API ---------------------------------------------------------
 
@@ -148,9 +155,9 @@ class Tracker:
                 self.carry,
                 self.dmap,
                 frame,
-                jnp.float32(self.cfg.semantic.th_entropy_reduction),
+                self._th_entropy_dev,
                 self._ref_pt_idx,
-                jnp.int32(3 if self.map.n_keyframes > 2 else 2),
+                self._min_obs_dev[3 if self.map.n_keyframes > 2 else 2],
                 self.cam,
                 self.cfg.orb.scale_factor,
                 self.cfg.orb.n_levels,
@@ -174,7 +181,7 @@ class Tracker:
                 self._ref_desc_bits,
                 self._ref_angle,
                 self._ref_pt_idx,
-                jnp.float32(self.cfg.semantic.th_entropy_reduction),
+                self._th_entropy_dev,
                 self.cam,
                 self.cfg.orb.scale_factor,
             )

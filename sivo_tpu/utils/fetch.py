@@ -32,6 +32,44 @@ def _packer(treedef, shapes_dtypes):
     return pack
 
 
+@functools.lru_cache(maxsize=64)
+def _unpacker(keys, shapes_dtypes):
+    sizes = [
+        int(np.prod(s)) if s else 1 for s, _ in shapes_dtypes
+    ]
+    offsets = np.cumsum([0] + sizes)
+
+    @jax.jit
+    def unpack(flat):
+        out = []
+        for i, (shape, dtype) in enumerate(shapes_dtypes):
+            seg = jax.lax.dynamic_slice_in_dim(
+                flat, int(offsets[i]), sizes[i]
+            )
+            out.append(seg.reshape(shape).astype(dtype))
+        return tuple(out)
+
+    return unpack
+
+
+def upload_packed(tree: dict) -> dict:
+    """dict[str, np.ndarray] -> dict[str, jax.Array] via ONE transfer
+    (each individual upload pays the relay round trip, like fetches).
+    float32 packing; lossless for the runtime payloads here (ids < 2^24,
+    masks, uint8, pixels, positions)."""
+    keys = tuple(tree.keys())
+    arrs = [np.asarray(tree[k]) for k in keys]
+    shapes_dtypes = tuple(
+        (a.shape, str(a.dtype)) for a in arrs
+    )
+    flat = np.concatenate(
+        [a.astype(np.float32).reshape(-1) for a in arrs]
+    )
+    unpack = _unpacker(keys, shapes_dtypes)
+    out = unpack(jnp.asarray(flat))
+    return dict(zip(keys, out))
+
+
 def fetch_packed(tree) -> dict:
     """dict[str, jax.Array] -> dict[str, np.ndarray] via ONE transfer."""
     keys = list(tree.keys())
