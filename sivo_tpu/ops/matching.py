@@ -220,6 +220,86 @@ def search_by_projection_points(
     return _resolve(dist, best_j, matched)
 
 
+def search_by_sim3(
+    g12_s: jnp.ndarray,  # () scale
+    g12_R: jnp.ndarray,  # (3, 3)
+    g12_t: jnp.ndarray,  # (3,)
+    pc1: jnp.ndarray,  # (N1, 3) camera-1-frame positions of kp1 points
+    has1: jnp.ndarray,  # (N1,) bool kp1 has a map point
+    xy1: jnp.ndarray,
+    level1: jnp.ndarray,
+    desc1: jnp.ndarray,  # (N1, 256) bits
+    pc2: jnp.ndarray,  # (N2, 3)
+    has2: jnp.ndarray,
+    xy2: jnp.ndarray,
+    level2: jnp.ndarray,
+    desc2: jnp.ndarray,
+    scales: jnp.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    th: float = 7.5,  # ref: LoopClosing.cc:329
+) -> jnp.ndarray:
+    """Guided Sim3 correspondence search
+    (ref: ORBmatcher.cc:1055-1276 SearchBySim3): project each side's
+    points into the other camera through g12 / g12^-1, window-search
+    keypoints at the predicted scale, and keep MUTUAL agreements.
+
+    Returns (N1,) int32: matched kp2 index per kp1, -1 if none.
+    """
+
+    def project(p):
+        z = jnp.maximum(p[..., 2], 1e-9)
+        return jnp.stack(
+            [fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy],
+            axis=-1,
+        )
+
+    def directed(pa, has_a, level_a, desc_a, xy_b, level_b, desc_b,
+                 has_b_kp, s, R, t):
+        # transform a-side points into b's camera
+        pb = s * (pa @ R.T) + t
+        ok_z = pb[..., 2] > 0
+        uv = project(pb)
+        radius = (th * scales[level_a])[:, None]
+        in_win = (
+            (jnp.abs(xy_b[:, 0][None, :] - uv[:, 0:1]) <= radius)
+            & (jnp.abs(xy_b[:, 1][None, :] - uv[:, 1:2]) <= radius)
+        )
+        lvl_ok = (
+            jnp.abs(level_b[None, :] - level_a[:, None]) <= 1
+        )
+        ok = (
+            in_win & lvl_ok & has_a[:, None] & ok_z[:, None]
+            & has_b_kp[None, :]
+        )
+        d = jnp.where(ok, hamming_matrix(desc_a, desc_b), jnp.inf)
+        best = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+        return jnp.where(best_d <= TH_HIGH, best, -1)
+
+    sinv = 1.0 / g12_s
+    Rinv = g12_R.T
+    tinv = -sinv * (Rinv @ g12_t)
+    m21 = directed(  # kp2 -> kp1 via g12 (p1 = g12(p2))
+        pc2, has2, level2, desc2, xy1, level1, desc1, has1,
+        g12_s, g12_R, g12_t,
+    )
+    m12 = directed(  # kp1 -> kp2 via g12^-1
+        pc1, has1, level1, desc1, xy2, level2, desc2, has2,
+        sinv, Rinv, tinv,
+    )
+    # mutual agreement (ref: ORBmatcher.cc:1243-1270)
+    n1 = pc1.shape[0]
+    idx = jnp.arange(n1)
+    j = m12
+    mutual = (j >= 0) & (
+        jnp.take(m21, jnp.clip(j, 0, m21.shape[0] - 1)) == idx
+    )
+    return jnp.where(mutual, j, -1).astype(jnp.int32)
+
+
 def search_brute_force(
     src_desc: jnp.ndarray,
     src_valid: jnp.ndarray,

@@ -197,13 +197,42 @@ class LoopCloser:
         n_inl = int(jax.device_get(res.n_inliers))
         if n_inl < self.cfg.loop.sim3_ransac_min_inliers:
             return None
-        if len(pairs) < self.cfg.loop.min_total_matches:
-            return None
         g12 = sim3.Sim3(
             s=jnp.asarray(float(res.g12.s)),
             R=res.g12.R,
             t=res.g12.t,
         )
+        # guided search for MORE correspondences through the Sim3
+        # (ref: LoopClosing.cc:340-366 SearchBySim3 + second
+        # OptimizeSim3), then the >= 40 total-match gate (ref: :393)
+        def cam_points(d, pts, T):
+            has = pts >= 0
+            pw = np.zeros((len(pts), 3), np.float32)
+            pw[has] = self.map.pt_pos[pts[has]]
+            pc = pw @ T[:3, :3].T + T[:3, 3]
+            return pc.astype(np.float32), has
+
+        pc1_all, has1 = cam_points(d1, pts1, T1)
+        pc2_all, has2 = cam_points(d2, pts2, T2)
+        scales = jnp.asarray(
+            self.cfg.orb.scale_factor
+            ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
+        )
+        m12 = matching.search_by_sim3(
+            g12.s, g12.R, g12.t,
+            jnp.asarray(pc1_all), jnp.asarray(has1),
+            jnp.asarray(d1.xy), jnp.asarray(d1.level),
+            self._kf_bits(kf_idx),
+            jnp.asarray(pc2_all), jnp.asarray(has2),
+            jnp.asarray(d2.xy), jnp.asarray(d2.level),
+            self._kf_bits(cand),
+            scales,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+        )
+        m12_np = np.asarray(jax.device_get(m12))
+        n_total = int((m12_np >= 0).sum())
+        if max(n_total, n_inl) < self.cfg.loop.min_total_matches:
+            return None
         return g12
 
     def _correct_loop(
