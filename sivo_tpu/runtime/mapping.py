@@ -165,23 +165,16 @@ class LocalMapper:
             nb_desc[i] = d2.desc_u8
             nb_ur[i] = d2.u_right
             nb_sem[i] = d2.semantic
-        from sivo_tpu.utils.fetch import upload_packed
-
-        up = upload_packed(
-            {
-                "pos": m.pt_pos[pad], "nrm": m.pt_normal[pad],
-                "mind": m.pt_min_dist[pad],
-                "maxd": m.pt_max_dist[pad],
-                "desc": m.pt_desc_u8[pad], "alive": alive,
-                "pose": nb_pose, "xy": nb_xy, "lvl": nb_level,
-                "nbd": nb_desc, "ur": nb_ur, "sem": nb_sem,
-            }
-        )
         src_all = _fuse_program(
-            up["pos"], up["nrm"], up["mind"], up["maxd"],
-            up["desc"], up["alive"],
-            up["pose"], up["xy"], up["lvl"], up["nbd"],
-            up["ur"], up["sem"],
+            jnp.asarray(m.pt_pos[pad]),
+            jnp.asarray(m.pt_normal[pad]),
+            jnp.asarray(m.pt_min_dist[pad]),
+            jnp.asarray(m.pt_max_dist[pad]),
+            jnp.asarray(m.pt_desc_u8[pad]),
+            jnp.asarray(alive),
+            jnp.asarray(nb_pose), jnp.asarray(nb_xy),
+            jnp.asarray(nb_level), jnp.asarray(nb_desc),
+            jnp.asarray(nb_ur), jnp.asarray(nb_sem),
             tracker.cam, self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
         )
@@ -305,25 +298,18 @@ class LocalMapper:
             free2[i] = (pts2 < 0) & d2.semantic
             cls2[i] = d2.sem_class
             nb_valid[i] = True
-        from sivo_tpu.utils.fetch import upload_packed
-
-        up = upload_packed(
-            {
-                "pose1": m.kf_pose[kf_idx], "xy1": d1.xy,
-                "lvl1": d1.level, "desc1": d1.desc_u8,
-                "free1": free1, "ur1": d1.u_right,
-                "cls1": d1.sem_class, "conf1": d1.sem_confidence,
-                "ent1": d1.sem_entropy, "cov1": m.kf_cov[kf_idx],
-                "t2": t2, "xy2": xy2, "lvl2": lvl2, "desc2": desc2,
-                "free2": free2, "cls2": cls2, "nbv": nb_valid,
-            }
-        )
         res = tri.triangulate_neighbors(
-            up["pose1"], up["xy1"], up["lvl1"], up["desc1"],
-            up["free1"], up["ur1"], up["cls1"], up["conf1"],
-            up["ent1"], up["cov1"],
-            up["t2"], up["xy2"], up["lvl2"], up["desc2"],
-            up["free2"], up["cls2"], up["nbv"],
+            jnp.asarray(m.kf_pose[kf_idx]),
+            jnp.asarray(d1.xy), jnp.asarray(d1.level),
+            jnp.asarray(d1.desc_u8),
+            jnp.asarray(free1), jnp.asarray(d1.u_right),
+            jnp.asarray(d1.sem_class),
+            jnp.asarray(d1.sem_confidence),
+            jnp.asarray(d1.sem_entropy),
+            jnp.asarray(m.kf_cov[kf_idx]),
+            jnp.asarray(t2), jnp.asarray(xy2), jnp.asarray(lvl2),
+            jnp.asarray(desc2), jnp.asarray(free2),
+            jnp.asarray(cls2), jnp.asarray(nb_valid),
             jnp.float32(self.cfg.semantic.th_confidence),
             jnp.float32(self.cfg.semantic.th_entropy_reduction),
             self.cam,
@@ -576,30 +562,18 @@ class LocalMapper:
             obs_stereo[:o][sel] = ur > 0
         obs_valid[:o] = True
 
-        from sivo_tpu.utils.fetch import upload_packed
-
-        up = upload_packed(
-            {
-                "kf_pose": poses, "kf_fixed": fixed,
-                "kf_valid": valid_kf, "pt_pos": pts,
-                "pt_valid": valid_pt, "obs_kf": obs_kf,
-                "obs_pt": obs_pt, "obs_uvr": obs_uvr,
-                "obs_sigma2": obs_sigma2, "obs_stereo": obs_stereo,
-                "obs_valid": obs_valid,
-            }
-        )
         prob = local_ba.BAProblem(
-            kf_pose=up["kf_pose"],
-            kf_fixed=up["kf_fixed"],
-            kf_valid=up["kf_valid"],
-            pt_pos=up["pt_pos"],
-            pt_valid=up["pt_valid"],
-            obs_kf=up["obs_kf"],
-            obs_pt=up["obs_pt"],
-            obs_uvr=up["obs_uvr"],
-            obs_sigma2=up["obs_sigma2"],
-            obs_is_stereo=up["obs_stereo"],
-            obs_valid=up["obs_valid"],
+            kf_pose=jnp.asarray(poses),
+            kf_fixed=jnp.asarray(fixed),
+            kf_valid=jnp.asarray(valid_kf),
+            pt_pos=jnp.asarray(pts),
+            pt_valid=jnp.asarray(valid_pt),
+            obs_kf=jnp.asarray(obs_kf),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uvr=jnp.asarray(obs_uvr),
+            obs_sigma2=jnp.asarray(obs_sigma2),
+            obs_is_stereo=jnp.asarray(obs_stereo),
+            obs_valid=jnp.asarray(obs_valid),
         )
         res = local_ba.local_bundle_adjustment(
             prob, jnp.int32(0), self.cam

@@ -248,10 +248,12 @@ def track_step(
     res2, pt_idx_f = _optimize(
         frame, pt_idx_c, dmap, T1, cam, scale_factor
     )
-    # success = enough local-map inliers (ref: Tracking.cc:813-822);
-    # a failed motion stage (ok1) can be rescued by the local-map stage,
-    # mirroring the reference's TrackReferenceKeyFrame fallback winning
-    ok = res2.n_inliers >= 30
+    # success requires BOTH the motion stage and the local-map stage
+    # (ref: Tracking.cc:266+813-822) — a frame whose motion stage failed
+    # routes to the brute-force reference-KF fallback program instead
+    # (rotation-checked global matching resists the aliased
+    # window-matches that a local-map-only rescue can lock onto)
+    ok = ok1 & (res2.n_inliers >= 30)
     T_final = jnp.where(ok, res2.pose, carry.pose)
     cov_final = jnp.where(ok, res2.covariance, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)

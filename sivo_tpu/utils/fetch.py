@@ -53,10 +53,10 @@ def _unpacker(keys, shapes_dtypes):
 
 
 def upload_packed(tree: dict) -> dict:
-    """dict[str, np.ndarray] -> dict[str, jax.Array] via ONE transfer
-    (each individual upload pays the relay round trip, like fetches).
-    float32 packing; lossless for the runtime payloads here (ids < 2^24,
-    masks, uint8, pixels, positions)."""
+    """DO NOT USE on the axon relay: multi-output unpack programs pay a
+    pathological per-output cost there (measured 15s for a 7-output
+    unpack vs 91ms for plain per-array uploads, which are async anyway).
+    Kept for reference/possible use on direct-attached TPUs."""
     keys = tuple(tree.keys())
     arrs = [np.asarray(tree[k]) for k in keys]
     shapes_dtypes = tuple(
