@@ -23,11 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from sivo_tpu.config import SystemConfig
-from sivo_tpu.geometry import se3 as se3_np  # jnp-based, used via asarray
 from sivo_tpu.geometry import sim3
 from sivo_tpu.geometry.projection import CameraParams
 from sivo_tpu.ops import matching
-from sivo_tpu.optim import local_ba, pose_graph, sim3_opt
+from sivo_tpu.optim import pose_graph, sim3_opt
 from sivo_tpu.place import database as db_mod
 from sivo_tpu.place import vocabulary as voc_mod
 from sivo_tpu.runtime import device_map

@@ -9,7 +9,7 @@ threads collapse into host orchestration + device program pipelining.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sivo_tpu.config import SystemConfig
-from sivo_tpu.geometry import se3
 from sivo_tpu.geometry.projection import CameraParams, unproject_stereo
 from sivo_tpu.runtime import device_map, track_step as ts
 from sivo_tpu.runtime.frame import Frame
