@@ -35,7 +35,7 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         semantic=dataclasses.replace(
-            cfg.semantic, th_entropy_reduction=1.0
+            cfg.semantic, th_entropy_reduction=2.0
         ),
     )
     n_frames = 28
@@ -51,9 +51,13 @@ def main() -> None:
     right = right.astype(np.uint8)
     # no trained CNN weights exist in this environment (Git-LFS stubs,
     # BASELINE.md) — the CNN runs at full cost every frame, but the
-    # tracking policy consumes the renderer's ground-truth semantics
-    conf_r = jnp.full(left[0].shape, 0.95, jnp.float32)
-    ent_r = jnp.full(left[0].shape, 0.05, jnp.float32)
+    # tracking policy consumes CNN-like structured semantics derived
+    # from the renderer's class maps (graded per-pixel entropy: with a
+    # CONSTANT raster the SIVO criterion degenerates to all-or-nothing
+    # creation, which no real posterior produces)
+    sem_frames = [
+        synthetic.structured_semantics(c, seed=7) for c in clsmaps
+    ]
     use_cnn = jnp.asarray(False)
 
     system = System(cfg=cfg, max_keyframes=256, max_points=131072)
@@ -70,7 +74,10 @@ def main() -> None:
                 jnp.asarray(right[i]),
                 jax.random.key(i),
                 sem_override=(
-                    jnp.asarray(clsmaps[i]), conf_r, ent_r, use_cnn
+                    jnp.asarray(sem_frames[i][0]),
+                    jnp.asarray(sem_frames[i][1]),
+                    jnp.asarray(sem_frames[i][2]),
+                    use_cnn,
                 ),
             )
 
@@ -78,7 +85,7 @@ def main() -> None:
         build(i)
         f = built.pop(i)
         build(i + 1)  # prefetch: frontend of i+1 overlaps tracking of i
-        system.track_frame(f, timestamp=i * 0.1)
+        system.track_frame(f, timestamp=i * 0.1, pipeline=True)
 
     # warmup: compile every program variant — continue until the
     # keyframe pipeline (mapping, triangulation, BA) has run twice
@@ -97,6 +104,7 @@ def main() -> None:
     t0 = time.time()
     for i in range(warm, n_frames):
         run_frame(i)
+    system.flush()  # retire the pipelined frame + drain mapping
     _ = np.asarray(system.tracker.last_pose)  # full sync
     dt = (time.time() - t0) / max(n_frames - warm, 1)
     fps = 1.0 / dt
@@ -113,6 +121,7 @@ def main() -> None:
     n_loc = 8
     for i in range(n_frames - n_loc, n_frames):
         run_frame(i)
+    system.flush()
     _ = np.asarray(system.tracker.last_pose)
     fps_tracking = n_loc / (time.time() - t0)
     system.deactivate_localization_mode()

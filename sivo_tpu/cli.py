@@ -134,7 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         f = built.pop(i)
         build(i + 1)  # prefetch next frame's frontend
         t1 = time.time()
-        system.track_frame(f, float(seq.timestamps[i]))
+        system.track_frame(f, float(seq.timestamps[i]), pipeline=True)
         dt = time.time() - t1
         track_times.append(dt)
         # pace to the dataset timestamps (ref: sivo.cc:115-123)

@@ -91,6 +91,10 @@ class TrackingConfig:
     min_motion_matches: int = 20
     min_matches_map: int = 10
     min_local_map_inliers: int = 30
+    # acceleration sanity bound in metres/frame^2 (beyond the
+    # reference; see runtime/track_step.py — implausible motion-stage
+    # jumps reroute to the prediction-free reference-KF fallback)
+    max_accel_m: float = 0.5
 
 
 @dataclass(frozen=True)

@@ -53,13 +53,17 @@ def _make_texture(rng, h, w):
         layer = cv2.resize(layer, (w, h), interpolation=cv2.INTER_LINEAR)
         t += amp * layer
         amp *= 1.8
-    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 120 + 60
-    # distinctive elements: ~1 per (32px)^2 of texture
-    n_elem = max((h * w) // 1024, 8)
+    t = (t - t.min()) / (np.ptp(t) + 1e-9) * 90 + 60
+    # distinctive elements: ~1 per (16px)^2 of texture. Density matters:
+    # pure 1/f noise is self-similar, so window-searched BRIEF matches
+    # alias in the prediction direction and VO locks onto a consistent
+    # false offset (observed as multiplicative z-drift); real imagery is
+    # full of discriminative corners, so the fixture must be too.
+    n_elem = max((h * w) // 256, 24)
     for _ in range(n_elem):
         cy, cx = rng.integers(0, h), rng.integers(0, w)
-        size = int(rng.integers(4, 28))
-        val = float(rng.uniform(10, 250))
+        size = int(rng.integers(3, 20))
+        val = float(rng.uniform(5, 250))
         if rng.random() < 0.5:
             ang = float(rng.uniform(0, 180))
             box = cv2.boxPoints(
@@ -128,15 +132,28 @@ def make_world(
 
 
 def _render_view(
-    world: SyntheticWorld, Tcw: np.ndarray, right: bool
+    world: SyntheticWorld, Tcw: np.ndarray, right: bool, ss: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Render one camera: returns (intensity (H, W), class raster)."""
+    """Render one camera: returns (intensity (H, W), class raster).
+
+    ``ss``: supersampling factor. warpPerspective point-samples under
+    minification, so without it distant texture becomes frame-to-frame
+    DECORRELATED pixel noise — BRIEF "matches" on it are chance
+    correlations picked inside the prediction window, which biases the
+    pose optimum toward the motion prediction and destabilizes VO
+    (measured: multiplicative velocity runaway). Real cameras integrate
+    over the pixel footprint; rendering at ss× and area-downsampling
+    reproduces that."""
     import cv2
 
     cam = world.cam
-    h, w = cam.height, cam.width
+    h, w = cam.height * ss, cam.width * ss
     K = np.array(
-        [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]]
+        [
+            [cam.fx * ss, 0, cam.cx * ss + (ss - 1) / 2.0],
+            [0, cam.fy * ss, cam.cy * ss + (ss - 1) / 2.0],
+            [0, 0, 1],
+        ]
     )
     R, t = Tcw[:3, :3].astype(np.float64), Tcw[:3, 3].astype(np.float64)
     if right:
@@ -187,6 +204,13 @@ def _render_view(
         )
         img[valid] = warped[valid]
         cls[valid] = pl.sem_class
+    if ss > 1:
+        img = cv2.resize(
+            img, (cam.width, cam.height), interpolation=cv2.INTER_AREA
+        )
+        cls = cv2.resize(
+            cls, (cam.width, cam.height), interpolation=cv2.INTER_NEAREST
+        )
     return img, cls
 
 
@@ -251,6 +275,49 @@ def semantics_from_classes(
         np.full(classes.shape, confidence, np.float32),
         np.full(classes.shape, entropy, np.float32),
     )
+
+
+def structured_semantics(
+    classes: np.ndarray,
+    seed: int = 0,
+    base_entropy: float = 0.02,
+    noise_entropy: float = 1.8,
+    boundary_entropy: float = 3.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CNN-like semantic rasters: per-pixel classification entropy with
+    spatial structure (smooth uncertainty field + inflated entropy at
+    class boundaries), confidence anticorrelated with entropy.
+
+    This matters for fidelity of the SIVO selection dynamics: the
+    mutual-information term is nearly depth-independent, so with a
+    CONSTANT entropy raster the criterion `MI − H > th`
+    (ref: Tracking.cc:999-1002) degenerates to all-or-nothing creation
+    driven purely by the pose covariance — starve/burst cycles that no
+    real Bayesian SegNet posterior produces. A graded entropy field
+    restores the intended behavior: confident pixels are selected
+    first and creation responds smoothly as covariance grows.
+    """
+    import cv2
+
+    h, w = classes.shape
+    rng = np.random.default_rng(seed)
+    # smooth uncertainty field in [0, 1]
+    coarse = rng.uniform(0, 1, (h // 16 + 1, w // 16 + 1)).astype(
+        np.float32
+    )
+    field = cv2.resize(coarse, (w, h), interpolation=cv2.INTER_CUBIC)
+    field = np.clip(field, 0.0, 1.0)
+    # cubic skew: most pixels confident (near-zero entropy, like a real
+    # posterior on easy structure), a tail of uncertain regions
+    ent = base_entropy + noise_entropy * field ** 3
+    # class boundaries are where a segmentation net is least certain
+    edges = (
+        cv2.Laplacian(classes.astype(np.float32), cv2.CV_32F) != 0
+    ).astype(np.float32)
+    edges = cv2.dilate(edges, np.ones((5, 5), np.float32))
+    ent = np.maximum(ent, boundary_entropy * edges).astype(np.float32)
+    conf = np.clip(1.0 - ent / 3.9, 0.05, 0.995).astype(np.float32)
+    return classes.astype(np.uint8), conf, ent
 
 
 def ate_rmse(est_cw: np.ndarray, gt_cw: np.ndarray) -> float:

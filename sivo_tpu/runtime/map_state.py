@@ -62,6 +62,9 @@ class MapState:
         self.kf_cov = np.zeros((K, 6, 6), np.float32)
         self.kf_valid = np.zeros(K, bool)
         self.kf_data: list[KeyFrameData | None] = [None] * K
+        # covisibility spanning tree: parent = top covisible KF at
+        # first connection (ref: KeyFrame.cc:410-414); -1 for the root
+        self.kf_parent = np.full(K, -1, np.int32)
         self.n_keyframes = 0
 
         self.pt_pos = np.zeros((P, 3), np.float32)
@@ -306,6 +309,35 @@ class MapState:
             return np.zeros(self.n_keyframes, np.int64)
         return C[kf_idx][: self.n_keyframes]
 
+    def update_spanning_tree(self, kf_idx: int) -> None:
+        """Set the keyframe's parent to its top covisible predecessor
+        (ref: KeyFrame.cc:410-414 — assigned once, at the first
+        connection update after insertion)."""
+        if self.kf_parent[kf_idx] >= 0 or kf_idx == 0:
+            return
+        w = self.covisibility(kf_idx)[:kf_idx]
+        if len(w) == 0:
+            return
+        best = int(np.argmax(w))
+        # fall back to the previous keyframe when no shared points yet
+        self.kf_parent[kf_idx] = best if w[best] > 0 else kf_idx - 1
+
+    def covis_top10(self) -> dict[int, list[int]]:
+        """Top-10 covisible neighbors for every keyframe in one
+        vectorized pass over the cached covisibility matrix (the
+        per-KF argsort loop was O(K^2 log K) per loop detection)."""
+        C = self.covisibility_matrix()[: self.n_keyframes,
+                                       : self.n_keyframes]
+        if C.size == 0:
+            return {}
+        k10 = min(10, C.shape[1])
+        order = np.argpartition(-C, k10 - 1, axis=1)[:, :k10]
+        w = np.take_along_axis(C, order, axis=1)
+        return {
+            k: [int(j) for j, wj in zip(order[k], w[k]) if wj > 0]
+            for k in range(C.shape[0])
+        }
+
     def local_keyframes(self, kf_idx: int, max_n: int = 80) -> np.ndarray:
         """Covisible keyframes ordered by weight (ref: Tracking.cc:
         1087-1235 UpdateLocalKeyFrames, capped at 80)."""
@@ -331,6 +363,7 @@ class MapState:
         self.kf_valid[:] = False
         self.pt_valid[:] = False
         self.kf_data = [None] * self.max_keyframes
+        self.kf_parent[:] = -1
         self.n_keyframes = 0
         self.n_points = 0
         self._obs_kf.clear()

@@ -76,10 +76,31 @@ def _fuse_program(
 
 @dataclass
 class LocalMapper:
+    """Two-stage pipelined mapper.
+
+    The reference runs this on its own thread (LocalMapping::Run,
+    LocalMapping.cc:55-114) so BA overlaps tracking. Here the same
+    overlap is deterministic: each keyframe advances through two
+    pipeline stages — phase 1 (cull counters + triangulation + fusion,
+    one packed async fetch) and BA (dispatched after phase 1 applies,
+    fetched asynchronously) — and ``advance()`` is called once per
+    tracked frame, applying whichever stage's fetch has landed. The
+    device solve and the relay round trips ride under the next frames'
+    tracking instead of stalling the frame loop.
+    """
+
     cfg: SystemConfig
     map: MapState
     cam: CameraParams
     timer: object = None  # optional StageTimer
+
+    def __post_init__(self):
+        self._phase1 = None
+        self._ba = None
+        # notification hook: culled keyframes must leave the loop
+        # closer's inverted file (ref: KeyFrameDatabase.cc:49-65 erase
+        # via KeyFrame::SetBadFlag)
+        self.on_kf_culled = None
 
     def _stage(self, name: str):
         import contextlib
@@ -88,20 +109,25 @@ class LocalMapper:
             return contextlib.nullcontext()
         return self.timer.stage(name)
 
-    def process_keyframe(
-        self, tracker, kf_idx: int
-    ) -> None:
-        """Run the mapping pipeline for a freshly inserted keyframe
-        (ref: LocalMapping.cc:55-114 Run loop body).
+    @property
+    def busy(self) -> bool:
+        return self._phase1 is not None or self._ba is not None
 
-        Fetch discipline: culling counters, triangulation and fusion
-        are mutually independent device programs — they dispatch
-        together and their outputs come back in ONE packed transfer
-        (the relay charges ~100ms per round trip under load); local BA
-        depends on their host updates and forms the second round trip.
-        """
-        from sivo_tpu.utils.fetch import fetch_packed
+    def process_keyframe(self, tracker, kf_idx: int) -> list[int]:
+        """Synchronous mapping for one keyframe (tests / simple
+        drivers): enqueue + drain."""
+        done = self.on_keyframe(tracker, kf_idx)
+        return done + self.drain(tracker)
 
+    def on_keyframe(self, tracker, kf_idx: int) -> list[int]:
+        """Admit a freshly inserted keyframe to the pipeline. Any
+        previous keyframe still in flight is drained first (the
+        reference's backpressure: Tracking.cc:905-908 inserts only when
+        the mapper queue is short). Returns keyframes whose pipeline
+        completed during the drain."""
+        from sivo_tpu.utils.fetch import fetch_packed_async
+
+        done = self.drain(tracker)
         with self._stage("map.phase1_dispatch"):
             outs = {}
             ctx_cull = self._cull_dispatch(tracker, outs)
@@ -109,21 +135,61 @@ class LocalMapper:
             if self.map.n_keyframes >= 2:
                 ctx_tri = self._tri_dispatch(tracker, kf_idx, outs)
                 ctx_fuse = self._fuse_dispatch(tracker, kf_idx, outs)
-        with self._stage("map.phase1_fetch"):
-            fetched = fetch_packed(outs)
-        with self._stage("map.cull_points"):
-            self._cull_apply(tracker, kf_idx, ctx_cull, fetched)
-        if ctx_tri is not None:
-            with self._stage("map.triangulate"):
-                self._tri_apply(tracker, kf_idx, ctx_tri, fetched)
-        if ctx_fuse is not None:
-            with self._stage("map.fuse"):
-                self._fuse_apply(tracker, kf_idx, ctx_fuse, fetched)
-        if self.map.n_keyframes >= 2:
-            with self._stage("map.local_ba"):
-                self._local_ba(tracker, kf_idx)
+            future = fetch_packed_async(outs)
+        self._phase1 = {
+            "kf": kf_idx,
+            "ctx_cull": ctx_cull,
+            "ctx_tri": ctx_tri,
+            "ctx_fuse": ctx_fuse,
+            "future": future,
+        }
+        return done
+
+    def advance(self, tracker, block: bool = False) -> list[int]:
+        """Apply pipeline stages whose fetches have landed; called once
+        per tracked frame. Returns keyframe indices whose mapping
+        completed (ready for loop closing)."""
+        done: list[int] = []
+        if self._ba is not None and (block or self._ba["future"].done()):
+            ba = self._ba
+            self._ba = None
+            with self._stage("map.ba_apply"):
+                self._ba_apply(tracker, ba)
             with self._stage("map.cull_kfs"):
-                self._cull_keyframes(kf_idx)
+                self._cull_keyframes(ba["kf"])
+            done.append(ba["kf"])
+        if (
+            self._phase1 is not None
+            and self._ba is None
+            and (block or self._phase1["future"].done())
+        ):
+            p = self._phase1
+            self._phase1 = None
+            fetched = p["future"].result()
+            kf_idx = p["kf"]
+            with self._stage("map.cull_points"):
+                self._cull_apply(tracker, kf_idx, p["ctx_cull"], fetched)
+            if p["ctx_tri"] is not None:
+                with self._stage("map.triangulate"):
+                    self._tri_apply(tracker, kf_idx, p["ctx_tri"], fetched)
+            if p["ctx_fuse"] is not None:
+                with self._stage("map.fuse"):
+                    self._fuse_apply(
+                        tracker, kf_idx, p["ctx_fuse"], fetched
+                    )
+            if self.map.n_keyframes >= 2:
+                with self._stage("map.ba_dispatch"):
+                    self._ba = self._ba_dispatch(tracker, kf_idx)
+            if self._ba is None:
+                done.append(kf_idx)
+        return done
+
+    def drain(self, tracker) -> list[int]:
+        """Run the pipeline to completion (flush / backpressure)."""
+        done: list[int] = []
+        while self.busy:
+            done += self.advance(tracker, block=True)
+        return done
 
     # -- fusion ---------------------------------------------------------------
 
@@ -232,6 +298,9 @@ class LocalMapper:
                 m.replace_point(kill, keep)
                 replaced[kill] = keep
         if replaced:
+            import os
+            if os.environ.get("SIVO_DEBUG_CULL"):
+                print(f"    [fuse kf={kf_idx}] replaced={len(replaced)}")
             from sivo_tpu.runtime import device_map as dm
 
             kill_ids = np.full(4096, -1, np.int32)
@@ -422,6 +491,8 @@ class LocalMapper:
             ):
                 m.kf_valid[k] = False
                 m._obs_dirty = True
+                if self.on_kf_culled is not None:
+                    self.on_kf_culled(int(k))
 
     # -- point culling ------------------------------------------------------
 
@@ -436,9 +507,18 @@ class LocalMapper:
     def _cull_apply(
         self, tracker, kf_idx: int, ctx: dict, fetched: dict
     ) -> None:
-        """MapPointCulling (ref: LocalMapping.cc:165-196): kill recent
-        points with found/visible ratio < 0.25 or too few observations
-        shortly after creation."""
+        """MapPointCulling (ref: LocalMapping.cc:165-196). Scope is the
+        reference's RECENT-point list only: the ratio and observation
+        tests apply while age <= 3 keyframes, after which a point
+        graduates and is never auto-culled here (an unscoped ratio test
+        was measured destroying 70% of the live map within two
+        keyframes — marginally-visible graduated points accumulate
+        visible>>found and die).
+
+        Observation counts come from the host observation table, which
+        (unlike the device counter) includes triangulation cross-
+        observations and fusion — the reference's Observations() does
+        too."""
         m = self.map
         n = m.n_points
         found = np.asarray(fetched["cull_found"])[:n].astype(np.float32)
@@ -446,18 +526,29 @@ class LocalMapper:
             np.asarray(fetched["cull_visible"])[:n].astype(np.float32),
             1.0,
         )
-        obs = np.asarray(fetched["cull_obs"])[:n]
+        obs = m.point_obs_counts()[:n]
         valid = np.asarray(fetched["cull_valid"])[:n]
         first = m.pt_first_kf[:n]
         age = kf_idx - first  # in keyframes
+        in_list = (first < kf_idx) & (age <= 3)
         ratio_bad = (found / visible) < self.cfg.mapping.found_ratio_min
-        young_bad = (age >= 2) & (
-            obs < self.cfg.mapping.min_obs_stereo
-        )
-        kill = valid & (ratio_bad | ((age >= 1) & young_bad))
-        # grace: never kill points born at this keyframe
-        kill &= first < kf_idx
+        # Deliberate divergence: the reference kills at obs <= 3
+        # (LocalMapping.cc:186-187) because its bidirectional
+        # SearchInNeighbors fusion retroactively adds observations into
+        # up to 10 older keyframes, so healthy young points reach 4+
+        # fast. Our observation accrual is leaner (KF-insert + forward
+        # fusion), and the reference-exact threshold measurably kills
+        # every well-tracked young point at age 2 early in a sequence.
+        # obs < min_obs_stereo (i.e. <= 2) keeps points that were
+        # re-observed at least once after creation.
+        obs_bad = (age >= 2) & (obs < self.cfg.mapping.min_obs_stereo)
+        kill = valid & in_list & (ratio_bad | obs_bad)
         kill_ids = np.where(kill)[0]
+        import os
+        if os.environ.get("SIVO_DEBUG_CULL"):
+            print(f"    [cull kf={kf_idx}] kills={len(kill_ids)} "
+                  f"(ratio={int((valid&in_list&ratio_bad).sum())}, "
+                  f"obs={int((valid&in_list&obs_bad).sum())}) of n={n}")
         if len(kill_ids) == 0:
             return
         m.pt_valid[kill_ids] = False
@@ -470,9 +561,12 @@ class LocalMapper:
 
     # -- local bundle adjustment ---------------------------------------------
 
-    def _local_ba(self, tracker, kf_idx: int) -> None:
-        """Build the covisible-window problem and solve on device
-        (ref: Optimizer.cc:493-926 via LocalMapping.cc:80-88)."""
+    def _ba_dispatch(self, tracker, kf_idx: int) -> dict | None:
+        """Build the covisible-window problem and dispatch the device
+        solve (ref: Optimizer.cc:493-926 via LocalMapping.cc:80-88);
+        the write-back happens in ``_ba_apply`` when the async fetch
+        lands, typically one tracked frame later — the same staleness
+        the reference's mapping thread exhibits."""
         m = self.map
         covis = m.covisibility(kf_idx)
         order = np.argsort(-covis)
@@ -578,9 +672,9 @@ class LocalMapper:
         res = local_ba.local_bundle_adjustment(
             prob, jnp.int32(0), self.cam
         )
-        from sivo_tpu.utils.fetch import fetch_packed
+        from sivo_tpu.utils.fetch import fetch_packed_async
 
-        out = fetch_packed(
+        future = fetch_packed_async(
             {
                 "kf_pose": res.kf_pose,
                 "pt_pos": res.pt_pos,
@@ -588,12 +682,38 @@ class LocalMapper:
                 "cov": res.newest_cov,
             }
         )
+        return {
+            "kf": kf_idx,
+            "kfs": kfs,
+            "fixed": fixed,
+            "pt_ids": pt_ids,
+            "rows": rows,
+            "o": o,
+            "future": future,
+            # pre-BA pose of the newest window KF (slot 0) for the
+            # tracker re-anchoring in _ba_apply
+            "newest_pose_before": poses[0].copy(),
+        }
+
+    def _ba_apply(self, tracker, ba: dict) -> None:
+        """Write back the BA solution (host map + device mirror) and
+        erase outlier observations (ref: Optimizer.cc:822-912)."""
+        m = self.map
+        out = ba["future"].result()
+        kfs, fixed, pt_ids = ba["kfs"], ba["fixed"], ba["pt_ids"]
+        rows, o = ba["rows"], ba["o"]
         # write back keyframe poses (free ones only)
         new_poses = np.asarray(out["kf_pose"])
         for i, k in enumerate(kfs):
             if not fixed[i]:
                 m.kf_pose[k] = new_poses[i]
-        m.kf_cov[kf_idx] = np.asarray(out["cov"])
+        m.kf_cov[ba["kf"]] = np.asarray(out["cov"])
+        # re-anchor the tracker on the corrected newest KF
+        # (ref: Tracking.cc:641-646 UpdateLastFrame)
+        if not fixed[0]:
+            tracker.apply_world_correction(
+                ba["newest_pose_before"], new_poses[0]
+            )
         # write back point positions: host + device mirror
         new_pts = np.asarray(out["pt_pos"])[: len(pt_ids)]
         m.pt_pos[pt_ids] = new_pts

@@ -70,6 +70,7 @@ class System:
                 cam=self.tracker.cam,
                 voc=self.vocabulary,
             )
+            self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
         self._rng = jax.random.key(42)
         self._frame_no = 0
 
@@ -82,7 +83,8 @@ class System:
         timestamp: float,
         sem_override: tuple | None = None,
     ) -> Optional[np.ndarray]:
-        """ref: System.cc:172-218 TrackStereo."""
+        """ref: System.cc:172-218 TrackStereo (synchronous API: the
+        returned pose is THIS frame's)."""
         self._rng, key = jax.random.split(self._rng)
         f = frame_mod.build_frame(
             self.model,
@@ -95,44 +97,85 @@ class System:
         )
         return self.track_frame(f, timestamp)
 
-    def track_frame(self, f, timestamp: float) -> Optional[np.ndarray]:
-        """Track a pre-built Frame (device pipelining entry).
+    def track_frame(
+        self, f, timestamp: float, pipeline: bool = False
+    ) -> Optional[np.ndarray]:
+        """Track a pre-built Frame.
 
-        Keyframe-rate work (mapping, BA, loop closing) is DEFERRED one
-        frame and executed while the next frame's tracking program runs
-        on device — the async-dispatch equivalent of the reference's
+        ``pipeline=True`` (the CLI/bench hot loop) runs one frame deep:
+        the current frame's program is dispatched and the PREVIOUS
+        frame's pose is returned — its summary fetch has been in flight
+        since the last call, so the relay round-trip hides under this
+        frame's host+device work. Keyframe-rate work (mapping, BA, loop
+        closing) advances as an async pipeline between dispatch and
+        retire — the deterministic equivalent of the reference's
         LocalMapping/LoopClosing threads (SURVEY §2.3 item 1).
+
+        ``pipeline=False`` keeps the reference's synchronous semantics
+        (returns this frame's pose).
         """
-        kf_before = self.map.n_keyframes
+        from sivo_tpu.runtime.tracking import TrackingState
+
         with self.timer.stage("track"):
-            pose = self.tracker.track(
-                f, timestamp, overlap_work=self._process_pending
-            )
-            if pose is None:
-                self._process_pending()
-                pose = self._relocalize(f, timestamp)
-        if self.map.n_keyframes > kf_before:
-            self._pending_kf = self.map.n_keyframes - 1
+            pose_prev = self._retire_one()
+            if self.tracker.state in (
+                TrackingState.NO_IMAGES_YET,
+                TrackingState.NOT_INITIALIZED,
+            ):
+                pose = self.tracker.track_init(f, timestamp)
+                if self.tracker.kf_created is not None:
+                    self._on_keyframe(self.tracker.kf_created)
+                return pose
+            self.tracker.dispatch(f, timestamp)
+            self._advance_mapping()
+            if pipeline:
+                return pose_prev
+            return self._retire_one()
+
+    def _retire_one(self) -> Optional[np.ndarray]:
+        """Retire the in-flight frame (if any): summary-driven policy,
+        keyframe admission to the mapping pipeline, relocalization."""
+        tk = self.tracker.take_inflight()
+        if tk is None:
+            return None
+        with self.timer.stage("track.retire"):
+            pose = self.tracker.retire(tk)
+        if (
+            self.tracker.kf_created is not None
+            and not self.tracker.only_tracking
+        ):
+            self._on_keyframe(self.tracker.kf_created)
+        if pose is None:
+            pose = self._relocalize(tk.frame, tk.timestamp)
         return pose
 
-    def _process_pending(self) -> None:
-        """Run the deferred keyframe pipeline (mapping + loop closing)."""
-        kf_idx = getattr(self, "_pending_kf", None)
-        if kf_idx is None:
-            return
-        self._pending_kf = None
-        # mapping pipeline (ref: LocalMapping::Run, SURVEY §3.3)
+    def _on_keyframe(self, kf_idx: int) -> None:
         with self.timer.stage("mapping"):
-            self.mapper.process_keyframe(self.tracker, kf_idx)
-        # loop closing (ref: LoopClosing::Run)
-        if self.loop_closer is not None:
+            done = self.mapper.on_keyframe(self.tracker, kf_idx)
+        self._run_loop_closer(done)
+
+    def _advance_mapping(self, block: bool = False) -> None:
+        with self.timer.stage("map.advance"):
+            done = self.mapper.advance(self.tracker, block=block)
+        self._run_loop_closer(done)
+
+    def _run_loop_closer(self, kf_indices) -> None:
+        """Loop closing for keyframes whose mapping completed
+        (ref: LocalMapping.cc:90 InsertKeyFrame -> LoopClosing::Run)."""
+        if self.loop_closer is None:
+            return
+        for kf_idx in kf_indices:
             with self.timer.stage("loop_closing"):
                 self.loop_closer.process_keyframe(self.tracker, kf_idx)
 
-    def flush(self) -> None:
-        """Complete any deferred keyframe work (call before reading the
-        map or shutting down)."""
-        self._process_pending()
+    def flush(self) -> Optional[np.ndarray]:
+        """Complete all in-flight work: retire the pipelined frame and
+        drain the mapping pipeline (call before reading the map or
+        shutting down). Returns the last retired pose, if any."""
+        pose = self._retire_one()
+        done = self.mapper.drain(self.tracker)
+        self._run_loop_closer(done)
+        return pose
 
     def activate_localization_mode(self) -> None:
         """Track against the frozen map without inserting keyframes
@@ -236,7 +279,6 @@ class System:
             tr.last_pose = pose
             tr.last_cov = cov
             tr.state = TrackingState.OK
-            tr._has_velocity = False
             tr.carry = tr.carry._replace(
                 pose=jnp.asarray(pose),
                 cov=jnp.asarray(cov),
@@ -261,6 +303,10 @@ class System:
 
         self.map.clear()
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
+        self.mapper = LocalMapper(
+            cfg=self.cfg, map=self.map, cam=self.tracker.cam,
+            timer=self.timer,
+        )
         if self.loop_closer is not None:
             from sivo_tpu.runtime.loopclosing import LoopCloser
 
@@ -268,6 +314,7 @@ class System:
                 cfg=self.cfg, map=self.map,
                 cam=self.tracker.cam, voc=self.vocabulary,
             )
+            self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
 
     # -- shutdown / outputs ----------------------------------------------------
 

@@ -84,7 +84,13 @@ S_N_INLIERS2 = 58
 S_N_SELECTED = 59
 S_N_SEMANTIC = 60
 S_N_REF = 61  # ref-KF points with >= min_obs observations
-SUMMARY_LEN = 64
+S_USED_FALLBACK = 62  # 1.0 if the ref-KF brute-force stage ran
+# motion-stage diagnostics (always from the motion path, even when the
+# fallback produced the frame's pose)
+S_MOT_N = 63
+S_MOT_INL = 64
+S_MOT_DEV = 65  # metres between stage-1 optimum and the prediction
+SUMMARY_LEN = 72
 
 
 def _match_motion(
@@ -172,12 +178,23 @@ def track_step(
     th_entropy: jnp.ndarray,  # () current entropy-reduction gate
     ref_pt_idx: jnp.ndarray,  # (N,) int32 ref-KF keypoint -> point id
     min_obs: jnp.ndarray,  # () int32 keyframe-policy obs threshold
+    ref_desc_bits: jnp.ndarray,  # (N, 256) reference-KF descriptors
+    ref_angle: jnp.ndarray,  # (N,) reference-KF keypoint angles
     cam: CameraParams,
     scale_factor: float = 1.2,
     n_levels: int = 8,
     motion_th: float = 7.0,
+    max_accel: float = 0.5,
 ) -> StepResult:
-    """Full per-frame numeric tracking (see module docstring)."""
+    """Full per-frame numeric tracking (see module docstring).
+
+    Stage 1 is the motion-model search; when it fails (or there is no
+    velocity estimate yet) the reference-keyframe brute-force fallback
+    (ref: Tracking.cc:262-270 TrackReferenceKeyFrame) runs INSIDE the
+    same program under ``lax.cond`` — the round-trip that a host-side
+    fallback dispatch would cost (~110ms through the relay) dwarfs the
+    conditional's device cost.
+    """
     scales = scale_factor ** jnp.arange(n_levels, dtype=jnp.float32)
 
     # ---- prediction (ref: Tracking.cc:711-722) --------------------------
@@ -205,8 +222,61 @@ def track_step(
     res1, pt_idx_m = _optimize(
         frame, pt_idx_m, dmap, T_pred, cam, scale_factor
     )
-    ok1 = (n_matches >= 20) & (res1.n_inliers >= 10)
-    T1 = jnp.where(ok1, res1.pose, T_pred)
+
+    def _center(T):
+        return -hmat(T[:3, :3].T, T[:3, 3][:, None])[:, 0]
+
+    # Acceleration sanity bound (beyond the reference): window-searched
+    # matching on self-similar structure can lock onto a consistent
+    # false offset and "confirm" an implausible motion with real
+    # inliers. Any stage-1 result implying more than ``max_accel``
+    # metres of deviation from the constant-velocity prediction is
+    # re-derived by the prediction-FREE reference-KF brute force
+    # instead (which can still confirm a genuine hard brake).
+    accel_dev = jnp.linalg.norm(_center(res1.pose) - _center(T_pred))
+    accel_ok = accel_dev <= max_accel
+    ok_motion = (
+        carry.has_velocity
+        & (n_matches >= 20)
+        & (res1.n_inliers >= 10)
+        & accel_ok
+    )
+
+    # ---- reference-KF fallback (ref: Tracking.cc:597-639) ----------------
+    def _motion_result():
+        return (
+            ok_motion, res1.pose, pt_idx_m,
+            n_matches, res1.n_inliers,
+        )
+
+    def _fallback_result():
+        ref_has = (
+            ref_pt_idx >= 0
+        ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
+        m = matching.search_brute_force(
+            ref_desc_bits, ref_has, ref_angle,
+            frame.desc_bits, frame.semantic, frame.angle,
+            nn_ratio=0.7,  # ref: Tracking.cc:603
+        )
+        hit = m.src_for_dst >= 0
+        pt = jnp.where(
+            hit,
+            ref_pt_idx[
+                jnp.clip(m.src_for_dst, 0, len(ref_pt_idx) - 1)
+            ],
+            -1,
+        ).astype(jnp.int32)
+        resf, ptf = _optimize(
+            frame, pt, dmap, carry.pose, cam, scale_factor
+        )
+        okf = (m.n_matches >= 15) & (resf.n_inliers >= 10)
+        return okf, resf.pose, ptf, m.n_matches, resf.n_inliers
+
+    used_fallback = ~ok_motion
+    ok1, T_s1, pt_idx_m, n_matches, n_inl1 = jax.lax.cond(
+        ok_motion, _motion_result, _fallback_result
+    )
+    T1 = jnp.where(ok1, T_s1, T_pred)
 
     # ---- local map: frustum over ALL points, top-K compaction -----------
     visible, uvr_all, dist_all, view_cos_all = frustum_check(
@@ -253,7 +323,11 @@ def track_step(
     # routes to the brute-force reference-KF fallback program instead
     # (rotation-checked global matching resists the aliased
     # window-matches that a local-map-only rescue can lock onto)
-    ok = ok1 & (res2.n_inliers >= 30)
+    refine_ok = (
+        jnp.linalg.norm(_center(res2.pose) - _center(T1))
+        <= 2.0 * max_accel
+    )
+    ok = ok1 & (res2.n_inliers >= 30) & refine_ok
     T_final = jnp.where(ok, res2.pose, carry.pose)
     cov_final = jnp.where(ok, res2.covariance, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)
@@ -265,18 +339,17 @@ def track_step(
     found_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
         jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
     ].add(1)[:-1]
-    # refresh tracked points' descriptors with the current view's
-    # (streaming form of ComputeDistinctiveDescriptors,
-    # ref: MapPoint.cc:284-347 — keeps matching robust to appearance
-    # drift between keyframes)
-    desc_idx = jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
-    new_desc = dmap.pt_desc_u8.at[desc_idx].set(
-        frame.desc_u8, mode="drop"
-    )
+    # NOTE: tracked points' stored descriptors are deliberately NOT
+    # refreshed here. A per-frame overwrite (round 1) is a drifting
+    # template update: an alias-shifted match replaces the descriptor
+    # with the shifted view's, so the next frame prefers a further-
+    # shifted patch — measured as multiplicative velocity runaway on
+    # repetitive texture. The reference only re-derives descriptors
+    # from KEYFRAME observations (MapPoint.cc:284-347), i.e. at KF
+    # rate; device_map.observe_points does the same at KF insertion.
     dmap = dmap._replace(
         pt_visible=dmap.pt_visible + vis_add,
         pt_found=dmap.pt_found + found_add,
-        pt_desc_u8=new_desc,
     )
 
     # ---- keyframe policy counters (Tracking.cc:852-874) ------------------
@@ -295,8 +368,13 @@ def track_step(
     xc_kp = unproject_stereo(cam, frame.xy, frame.depth)
     xw = se3.transform(Twc, xc_kp)
     sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
+    # Deliberate divergence: the reference scores candidates with the
+    # Jacobian at WORLD coordinates (Tracking.cc:966-977), so MI decays
+    # with distance travelled from the origin and creation starves on
+    # any long path; the camera-frame position is the physically
+    # correct (translation-invariant) evaluation point.
     scores = info_ops.entropy_reduction_stereo(
-        cov_final, xw, sigma2, frame.sem_entropy,
+        cov_final, xc_kp, sigma2, frame.sem_entropy,
         cam.fx, cam.fy, cam.bf / cam.fx,
     )
     sel_mask = (
@@ -334,12 +412,18 @@ def track_step(
     summary = summary.at[S_N_MATCHES_MOTION].set(
         n_matches.astype(jnp.float32)
     )
-    summary = summary.at[S_N_INLIERS1].set(
-        res1.n_inliers.astype(jnp.float32)
-    )
+    summary = summary.at[S_N_INLIERS1].set(n_inl1.astype(jnp.float32))
     summary = summary.at[S_N_INLIERS2].set(
         res2.n_inliers.astype(jnp.float32)
     )
+    summary = summary.at[S_USED_FALLBACK].set(
+        used_fallback.astype(jnp.float32)
+    )
+    summary = summary.at[S_MOT_N].set(
+        jnp.where(use_wide, n_b, n_a).astype(jnp.float32)
+    )
+    summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
+    summary = summary.at[S_MOT_DEV].set(accel_dev)
     summary = summary.at[S_N_SELECTED].set(
         jnp.sum(sel_mask).astype(jnp.float32)
     )
@@ -361,103 +445,4 @@ def track_step(
         sel_mask=sel_mask,
         xw=xw,
         pt_idx=pt_idx_f,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
-def fallback_step(
-    carry: TrackCarry,
-    dmap: DeviceMap,
-    frame: Frame,
-    ref_desc_bits: jnp.ndarray,  # (N, 256) reference KF descriptors
-    ref_angle: jnp.ndarray,
-    ref_pt_idx: jnp.ndarray,  # (N,) int32 ref KF keypoint -> point id
-    th_entropy: jnp.ndarray,
-    cam: CameraParams,
-    scale_factor: float = 1.2,
-) -> StepResult:
-    """Reference-keyframe fallback when motion tracking fails
-    (ref: Tracking.cc:597-639 TrackReferenceKeyFrame; BoW gating
-    replaced by the MXU brute-force with identical accept tests)."""
-    ref_has = (
-        ref_pt_idx >= 0
-    ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
-    m = matching.search_brute_force(
-        ref_desc_bits, ref_has, ref_angle,
-        frame.desc_bits, frame.semantic, frame.angle,
-        nn_ratio=0.7,
-    )
-    hit = m.src_for_dst >= 0
-    pt_idx = jnp.where(
-        hit,
-        ref_pt_idx[jnp.clip(m.src_for_dst, 0, len(ref_pt_idx) - 1)],
-        -1,
-    ).astype(jnp.int32)
-    res, pt_idx = _optimize(
-        frame, pt_idx, dmap, carry.pose, cam, scale_factor
-    )
-    ok = (m.n_matches >= 15) & (res.n_inliers >= 10)
-    T_final = jnp.where(ok, res.pose, carry.pose)
-    cov_final = jnp.where(ok, res.covariance, carry.cov)
-    pt_idx = jnp.where(ok, pt_idx, -1)
-
-    # selection for possible KF insertion
-    Twc = se3.inverse(T_final)
-    xc_kp = unproject_stereo(cam, frame.xy, frame.depth)
-    xw = se3.transform(Twc, xc_kp)
-    sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
-    scores = info_ops.entropy_reduction_stereo(
-        cov_final, xw, sigma2, frame.sem_entropy,
-        cam.fx, cam.fy, cam.bf / cam.fx,
-    )
-    sel_mask = (
-        frame.semantic & (frame.depth > 0) & (scores > th_entropy)
-        & (pt_idx < 0)
-    )
-    velocity = hmat(T_final, se3.inverse(carry.pose))
-    new_carry = TrackCarry(
-        pose=T_final,
-        cov=cov_final,
-        velocity=jnp.where(ok, velocity, jnp.eye(4)),
-        has_velocity=ok,
-        pt_idx=pt_idx,
-        desc_bits=frame.desc_bits,
-        level=frame.level,
-        angle=frame.angle,
-        valid=frame.valid,
-    )
-    close = (
-        (frame.depth > 0) & (frame.depth < 40.0 * cam.bf / cam.fx)
-        & frame.semantic
-    )
-    tracked = pt_idx >= 0
-    summary = jnp.zeros(SUMMARY_LEN, jnp.float32)
-    summary = summary.at[S_POSE].set(T_final.reshape(-1))
-    summary = summary.at[S_COV].set(cov_final.reshape(-1))
-    summary = summary.at[S_OK].set(ok.astype(jnp.float32))
-    summary = summary.at[S_N_TRACKED].set(
-        jnp.sum(tracked).astype(jnp.float32)
-    )
-    summary = summary.at[S_N_CLOSE_TRACKED].set(
-        jnp.sum(close & tracked).astype(jnp.float32)
-    )
-    summary = summary.at[S_N_CLOSE_FREE].set(
-        jnp.sum(close & ~tracked).astype(jnp.float32)
-    )
-    summary = summary.at[S_N_INLIERS2].set(
-        res.n_inliers.astype(jnp.float32)
-    )
-    summary = summary.at[S_N_SELECTED].set(
-        jnp.sum(sel_mask).astype(jnp.float32)
-    )
-    summary = summary.at[S_N_SEMANTIC].set(
-        jnp.sum(frame.semantic).astype(jnp.float32)
-    )
-    return StepResult(
-        carry=new_carry,
-        dmap=dmap,
-        summary=summary,
-        sel_mask=sel_mask,
-        xw=xw,
-        pt_idx=pt_idx,
     )

@@ -37,6 +37,13 @@ class TrackingState(enum.Enum):
     LOST = 3
 
 
+@jax.jit
+def _chain_pose(pose: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    from sivo_tpu.utils.precision import hmat
+
+    return hmat(pose, delta)
+
+
 def make_camera(cfg: SystemConfig) -> CameraParams:
     c = cfg.camera
     return CameraParams(
@@ -83,6 +90,20 @@ class FrameRecord:
 
 
 @dataclass
+class Ticket:
+    """An in-flight tracked frame: the device program is dispatched and
+    its ~256-byte summary is being copied back by the fetch worker while
+    the host moves on (the pipelined replacement for the reference's
+    synchronous Track() return)."""
+
+    frame: Frame
+    result: ts.StepResult
+    timestamp: float
+    frame_id: int
+    summary_future: object  # Future[np.ndarray]
+
+
+@dataclass
 class Tracker:
     cfg: SystemConfig
     map: MapState
@@ -105,11 +126,10 @@ class Tracker:
         self._ref_desc_bits = jnp.zeros((n, 256), jnp.float32)
         self._ref_angle = jnp.zeros(n, jnp.float32)
         self._ref_pt_idx = jnp.full(n, -1, jnp.int32)
-        self._last_frame: Optional[Frame] = None
-        self._last_pt_idx_dev: Optional[jnp.ndarray] = None
         self.last_pose = np.eye(4, dtype=np.float32)
         self.last_cov = np.eye(6, dtype=np.float32) * 1e-6
-        self._has_velocity = False
+        self._inflight: Optional[Ticket] = None
+        self.kf_created: Optional[int] = None  # set by retire()
         # per-run constant device scalars (every upload pays relay RTT)
         self._th_entropy_dev = jnp.float32(
             self.cfg.semantic.th_entropy_reduction
@@ -120,80 +140,114 @@ class Tracker:
 
     # -- public API ---------------------------------------------------------
 
-    def track(
-        self,
-        frame: Frame,
-        timestamp: float,
-        overlap_work=None,
-    ) -> Optional[np.ndarray]:
-        """Process one frame; returns Tcw or None if lost
-        (ref: Tracking.cc:229-451 Track()).
-
-        ``overlap_work``: optional host callback executed between the
-        tracking dispatch and the summary fetch — deferred keyframe-rate
-        work (mapping/BA) runs here so its host time overlaps the
-        device's frame computation (the reference gets the same overlap
-        from its LocalMapping thread, SURVEY §2.3 item 1).
-        """
-        fid = self.frame_count
-        self.frame_count += 1
-
+    def track(self, frame: Frame, timestamp: float) -> Optional[np.ndarray]:
+        """Synchronous per-frame API (ref: Tracking.cc:229-451 Track()):
+        dispatch + retire in one call. The pipelined path (System)
+        calls dispatch/retire directly so the summary fetch of frame i
+        overlaps the host+device work of frame i+1."""
         if self.state in (
             TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED
         ):
-            ok = self._stereo_initialization(frame, timestamp, fid)
-            if overlap_work is not None:
-                overlap_work()
-            return self.last_pose if ok else None
+            return self.track_init(frame, timestamp)
+        return self.retire(self.dispatch(frame, timestamp))
 
-        # motion model only with a velocity estimate; otherwise go
-        # straight to reference-KF matching (ref: Tracking.cc:262-270)
-        summary = None
-        if self._has_velocity:
-            result = ts.track_step(
-                self.carry,
-                self.dmap,
-                frame,
-                self._th_entropy_dev,
-                self._ref_pt_idx,
-                self._min_obs_dev[3 if self.map.n_keyframes > 2 else 2],
-                self.cam,
-                self.cfg.orb.scale_factor,
-                self.cfg.orb.n_levels,
-                float(self.cfg.tracking.motion_search_th),
-            )
-            self.dmap = result.dmap
-            if overlap_work is not None:
-                overlap_work()  # host work while the device tracks
-                overlap_work = None
-            summary = np.asarray(jax.device_get(result.summary))  # 1 fetch
+    def track_init(
+        self, frame: Frame, timestamp: float
+    ) -> Optional[np.ndarray]:
+        """Initialization frames (synchronous; ref: Tracking.cc:241)."""
+        fid = self.frame_count
+        self.frame_count += 1
+        ok = self._stereo_initialization(frame, timestamp, fid)
+        return self.last_pose if ok else None
 
-        if overlap_work is not None:
-            overlap_work()
-            overlap_work = None
-        if summary is None or summary[ts.S_OK] < 0.5:
-            # reference-KF fallback (ref: Tracking.cc:597-639)
-            result = ts.fallback_step(
-                self.carry,
-                self.dmap,
-                frame,
-                self._ref_desc_bits,
-                self._ref_angle,
-                self._ref_pt_idx,
-                self._th_entropy_dev,
-                self.cam,
-                self.cfg.orb.scale_factor,
-            )
-            self.dmap = result.dmap
-            summary = np.asarray(jax.device_get(result.summary))
-
+    def dispatch(self, frame: Frame, timestamp: float) -> Ticket:
+        """Enqueue the fused tracking program for this frame and start
+        the async summary copy. Requires an initialized tracker."""
+        assert self._inflight is None, "retire the previous ticket first"
+        fid = self.frame_count
+        self.frame_count += 1
+        result = ts.track_step(
+            self.carry,
+            self.dmap,
+            frame,
+            self._th_entropy_dev,
+            self._ref_pt_idx,
+            self._min_obs_dev[3 if self.map.n_keyframes > 2 else 2],
+            self._ref_desc_bits,
+            self._ref_angle,
+            self.cam,
+            self.cfg.orb.scale_factor,
+            self.cfg.orb.n_levels,
+            float(self.cfg.tracking.motion_search_th),
+            float(self.cfg.tracking.max_accel_m),
+        )
+        self.dmap = result.dmap
         self.carry = result.carry
-        self._last_frame = frame
+        from sivo_tpu.utils.fetch import device_get_async
+
+        tk = Ticket(
+            frame=frame,
+            result=result,
+            timestamp=timestamp,
+            frame_id=fid,
+            summary_future=device_get_async(result.summary),
+        )
+        self._inflight = tk
+        return tk
+
+    def take_inflight(self) -> Optional[Ticket]:
+        tk = self._inflight
+        self._inflight = None
+        return tk
+
+    def apply_world_correction(
+        self, ref_pose_old: np.ndarray, ref_pose_new: np.ndarray
+    ) -> None:
+        """Re-anchor the carry pose after BA / loop correction moved the
+        map (ref: Tracking.cc:641-646 UpdateLastFrame — the reference
+        re-chains mLastFrame through its reference keyframe's corrected
+        pose before every motion-model step; without this the motion
+        model absorbs each map correction as phantom velocity, which
+        compounds multiplicatively on straightaways).
+
+        carry.pose_new = carry.pose · Tref_old⁻¹ · Tref_new
+        (the camera-to-refKF relative pose is what the correction
+        preserves; velocity Tcl is invariant under this right-
+        multiplication so it needs no update)."""
+        delta = (
+            np.linalg.inv(ref_pose_old.astype(np.float64))
+            @ ref_pose_new.astype(np.float64)
+        )
+        if np.allclose(delta, np.eye(4), atol=1e-9):
+            return
+        import os
+        if os.environ.get("SIVO_DEBUG_CORR"):
+            print(f"    [world-corr] |dt|={np.linalg.norm(delta[:3,3]):.4f}")
+        if self.carry is not None:
+            delta_f = jnp.asarray(delta.astype(np.float32))
+            self.carry = self.carry._replace(
+                pose=_chain_pose(self.carry.pose, delta_f)
+            )
+        self.last_pose = (
+            self.last_pose.astype(np.float64) @ delta
+        ).astype(np.float32)
+
+    def retire(self, ticket: Optional[Ticket]) -> Optional[np.ndarray]:
+        """Consume a ticket's summary and run the host policy: state
+        machine, trajectory record, keyframe decision + insertion.
+        Returns the frame's pose, or None if tracking failed (the caller
+        may then attempt relocalization with ticket.frame)."""
+        if ticket is None:
+            return None
+        if self._inflight is ticket:
+            self._inflight = None
+        self.kf_created = None
+        summary = ticket.summary_future.result()
         self.last_summary = summary  # debug/introspection
+        fid, timestamp = ticket.frame_id, ticket.timestamp
 
         if summary[ts.S_OK] < 0.5:
             self.state = TrackingState.LOST
-            self._has_velocity = False
             self.trajectory.append(
                 FrameRecord(
                     pose=self.last_pose.copy(),
@@ -207,13 +261,15 @@ class Tracker:
             return None
 
         self.state = TrackingState.OK
-        self._has_velocity = True
         pose = summary[ts.S_POSE].reshape(4, 4).astype(np.float32)
         self.last_pose = pose
         self.last_cov = summary[ts.S_COV].reshape(6, 6).astype(np.float32)
 
         if self._need_new_keyframe(summary, fid):
-            self._create_new_keyframe(frame, result, timestamp, fid)
+            self._create_new_keyframe(
+                ticket.frame, ticket.result, timestamp, fid
+            )
+            self.kf_created = self.last_kf_id
         self.trajectory.append(
             FrameRecord(
                 pose=pose,
@@ -269,7 +325,7 @@ class Tracker:
                 frame_id=fid,
             )
         )
-        self._last_frame = frame
+        self.kf_created = self.last_kf_id
         return True
 
     # -- keyframe policy ----------------------------------------------------
@@ -420,6 +476,7 @@ class Tracker:
             self.map.add_observations(
                 kf_idx, pt_ids_np[kp_obs], kp_obs
             )
+        self.map.update_spanning_tree(kf_idx)
         self.last_kf_id = kf_idx
         self.last_kf_frame_id = fid
         # refresh the device-side reference-KF arrays

@@ -221,8 +221,13 @@ def entropy_reduction_stereo(
 
     Args:
       state_cov: (6, 6) current pose covariance.
-      points: (N, 3) points in the frame the reference evaluates at
-        (world coordinates, matching Tracking.cc:966).
+      points: (N, 3) candidate positions. Runtime callers pass
+        CAMERA-frame coordinates — a deliberate divergence from the
+        reference, which passes world coordinates (Tracking.cc:966) and
+        therefore starves selection as the camera travels away from the
+        origin (MI ~ 1/z_world^2). Camera-frame evaluation is
+        translation-invariant and scores close points as more
+        informative, the paper's intent.
       sigma2: (N,) per-keypoint measurement noise (level sigma^2).
       classification_entropy: (N,) per-pixel entropy in bits.
 

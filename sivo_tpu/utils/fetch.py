@@ -70,13 +70,7 @@ def upload_packed(tree: dict) -> dict:
     return dict(zip(keys, out))
 
 
-def fetch_packed(tree) -> dict:
-    """dict[str, jax.Array] -> dict[str, np.ndarray] via ONE transfer."""
-    keys = list(tree.keys())
-    arrs = [tree[k] for k in keys]
-    shapes = tuple((a.shape, str(a.dtype)) for a in arrs)
-    pack = _packer(tuple(keys), shapes)
-    flat = np.asarray(pack(arrs))
+def _split(flat: np.ndarray, keys, arrs) -> dict:
     out = {}
     pos = 0
     for k, a in zip(keys, arrs):
@@ -85,3 +79,70 @@ def fetch_packed(tree) -> dict:
         out[k] = chunk.astype(a.dtype)
         pos += n
     return out
+
+
+def _pack_dispatch(tree):
+    keys = list(tree.keys())
+    arrs = [tree[k] for k in keys]
+    shapes = tuple((a.shape, str(a.dtype)) for a in arrs)
+    pack = _packer(tuple(keys), shapes)
+    return keys, arrs, pack(arrs)
+
+
+def fetch_packed(tree) -> dict:
+    """dict[str, jax.Array] -> dict[str, np.ndarray] via ONE transfer."""
+    keys, arrs, flat_dev = _pack_dispatch(tree)
+    return _split(np.asarray(flat_dev), keys, arrs)
+
+
+# -- asynchronous fetches ----------------------------------------------------
+#
+# The relay's ~100-200ms per-fetch cost is pure wall-clock waiting; a
+# single worker thread absorbs it so the orchestrator can keep
+# dispatching device work. Device-side ops (the pack program) always
+# run on the CALLER's thread — only the blocking host copy moves to the
+# worker — so the device program order stays deterministic.
+
+_EXECUTOR = None
+
+
+def _executor():
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _EXECUTOR = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="sivo-fetch"
+        )
+    return _EXECUTOR
+
+
+class PackedFuture:
+    """In-flight packed fetch; ``result()`` blocks, ``done()`` polls."""
+
+    def __init__(self, keys, arrs, fut):
+        self._keys = keys
+        self._arrs = arrs
+        self._fut = fut
+        self._out = None
+
+    def done(self) -> bool:
+        return self._fut.done()
+
+    def result(self) -> dict:
+        if self._out is None:
+            self._out = _split(self._fut.result(), self._keys, self._arrs)
+        return self._out
+
+
+def fetch_packed_async(tree) -> PackedFuture:
+    """Start a packed fetch; returns a PackedFuture."""
+    keys, arrs, flat_dev = _pack_dispatch(tree)
+    fut = _executor().submit(np.asarray, flat_dev)
+    return PackedFuture(keys, arrs, fut)
+
+
+def device_get_async(x):
+    """Future[np.ndarray] for a single device array (e.g. the per-frame
+    tracking summary): the copy overlaps subsequent host dispatches."""
+    return _executor().submit(lambda a: np.asarray(jax.device_get(a)), x)

@@ -94,13 +94,13 @@ def loop_setup():
         nkp = 1024
         data = KeyFrameData(
             frame_id=i, timestamp=i * 0.1,
-            xy=np.asarray(host["xy"]),
-            level=np.asarray(host["level"]),
-            angle=np.asarray(host["angle"]),
-            desc_u8=np.asarray(host["desc"]),
+            xy=np.array(host["xy"]),
+            level=np.array(host["level"]),
+            angle=np.array(host["angle"]),
+            desc_u8=np.array(host["desc"]),
             desc_bits=None,
-            u_right=np.asarray(host["ur"]),
-            depth=np.asarray(host["depth"]),
+            u_right=np.array(host["ur"]),
+            depth=np.array(host["depth"]),
             sem_class=np.zeros(nkp, np.uint8),
             sem_confidence=np.ones(nkp, np.float32),
             sem_entropy=np.zeros(nkp, np.float32),
@@ -125,10 +125,22 @@ def loop_setup():
             data.level[kp_idx],
         )
         # covisibility: each KF also observes some of the previous
-        # KF's points (as real tracking would)
+        # KF's points (as real tracking would). The observations must
+        # be geometrically consistent with the (drifted) poses — the
+        # loop closer's post-correction global BA consumes them.
         if i > 0 and prev_ids is not None:
             share = prev_ids[:150]
             free_slots = np.arange(850, 850 + len(share))
+            pw_s = m.pt_pos[share].astype(np.float64)
+            pc_s = pw_s @ T[:3, :3].T + T[:3, 3]
+            zs = np.maximum(pc_s[:, 2], 0.1)
+            us = CAM.fx * pc_s[:, 0] / zs + CAM.cx
+            vs = CAM.fy * pc_s[:, 1] / zs + CAM.cy
+            data.xy[free_slots, 0] = us
+            data.xy[free_slots, 1] = vs
+            data.u_right[free_slots] = us - CAM.bf / zs
+            data.depth[free_slots] = zs
+            data.level[free_slots] = 0
             m.add_observations(kf, share, free_slots)
         prev_ids = ids
         all_desc.append(data.desc_u8[data.semantic])
