@@ -1,10 +1,12 @@
 """End-to-end benchmark: SIVO frames/sec on one TPU chip.
 
-Runs the FULL pipeline (Bayesian SegNet MC-dropout semantics, ORB
-stereo front end, entropy-gated tracking with pose LM, local mapping
-with triangulation + Schur BA + culling) at KITTI geometry (1024x352,
-2000 features, MC=3) on a synthetic corridor sequence, and reports
-steady-state FPS with a per-stage breakdown.
+Runs the FULL system — Bayesian SegNet MC-dropout semantics, ORB
+stereo front end, entropy-gated tracking with pose LM, pipelined local
+mapping (triangulation + Schur BA + culling), BoW loop detection, Sim3
++ essential-graph + GBA loop correction, and relocalization — at KITTI
+geometry (1024x352, 2000 features, MC=3) on a synthetic out-and-back
+corridor whose return leg revisits the outbound path, and reports
+steady-state FPS, ATE, and loop-closure counts.
 
 Baseline: the KITTI camera rate of 10 FPS that the reference paces to
 (ref: config/kitti/KITTI00-02.yaml:22, src/sivo.cc:115-123) and does
@@ -25,11 +27,113 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _warm_loop_programs(system) -> None:
+    """Compile the loop-closure device programs with dummy inputs of
+    the exact shapes the closure path uses — a first closure inside the
+    timed window otherwise pays ~1 min of XLA compiles."""
+    from sivo_tpu.ops import matching
+    from sivo_tpu.optim import local_ba, pose_graph, sim3_opt
+
+    cfg = system.cfg
+    cam = system.tracker.cam
+    N = cfg.orb.max_keypoints
+    bits = jnp.zeros((N, 256), jnp.float32)
+    ang = jnp.zeros(N, jnp.float32)
+    has = jnp.zeros(N, bool)
+    m = matching.search_brute_force(
+        bits, has, ang, bits, has, ang, nn_ratio=0.75
+    )
+    _ = jax.device_get(m.dst_for_src)
+
+    n_cap = 256
+    z3 = jnp.zeros((n_cap, 3), jnp.float32)
+    z2 = jnp.zeros((n_cap, 2), jnp.float32)
+    z1 = jnp.ones(n_cap, jnp.float32)
+    res = sim3_opt.ransac_sim3(
+        z3, z3, z2, z2, z1, z1, jnp.zeros(n_cap, bool),
+        jax.random.key(0), cam, fix_scale=True,
+    )
+    _ = jax.device_get(res.n_inliers)
+
+    scales = jnp.asarray(
+        cfg.orb.scale_factor
+        ** np.arange(cfg.orb.n_levels, dtype=np.float32)
+    )
+    zN3 = jnp.zeros((N, 3), jnp.float32)
+    m12 = matching.search_by_sim3(
+        jnp.float32(1.0), jnp.eye(3), jnp.zeros(3),
+        zN3, has, jnp.zeros((N, 2)), jnp.zeros(N, jnp.int32), bits,
+        zN3, has, jnp.zeros((N, 2)), jnp.zeros(N, jnp.int32), bits,
+        scales, cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+    _ = jax.device_get(m12)
+
+    K_cap, E_pad = 64, 256
+    prob = pose_graph.PoseGraphProblem(
+        s=jnp.ones(K_cap),
+        R=jnp.tile(jnp.eye(3), (K_cap, 1, 1)),
+        t=jnp.zeros((K_cap, 3)),
+        fixed=jnp.zeros(K_cap, bool).at[0].set(True),
+        valid=jnp.zeros(K_cap, bool).at[:4].set(True),
+        edge_i=jnp.zeros(E_pad, jnp.int32),
+        edge_j=jnp.zeros(E_pad, jnp.int32),
+        meas_s=jnp.ones(E_pad),
+        meas_R=jnp.tile(jnp.eye(3), (E_pad, 1, 1)),
+        meas_t=jnp.zeros((E_pad, 3)),
+        edge_valid=jnp.zeros(E_pad, bool),
+    )
+    s, R, t = pose_graph.optimize_essential_graph(prob)
+    _ = jax.device_get(s)
+
+    # local BA at the mapper's caps (BA-skip means the warmup frames
+    # may never have dispatched one; first compile is ~25 s on TPU)
+    from sivo_tpu.runtime import mapping as mapping_mod
+
+    lprob = local_ba.BAProblem(
+        kf_pose=jnp.tile(jnp.eye(4), (mapping_mod.MAX_BA_KF, 1, 1)),
+        kf_fixed=jnp.zeros(mapping_mod.MAX_BA_KF, bool).at[0].set(True),
+        kf_valid=jnp.zeros(mapping_mod.MAX_BA_KF, bool).at[:2].set(
+            True
+        ),
+        pt_pos=jnp.zeros((mapping_mod.MAX_BA_PT, 3)),
+        pt_valid=jnp.zeros(mapping_mod.MAX_BA_PT, bool),
+        obs_kf=jnp.zeros(mapping_mod.MAX_BA_OBS, jnp.int32),
+        obs_pt=jnp.zeros(mapping_mod.MAX_BA_OBS, jnp.int32),
+        obs_uvr=jnp.zeros((mapping_mod.MAX_BA_OBS, 3)),
+        obs_sigma2=jnp.ones(mapping_mod.MAX_BA_OBS),
+        obs_is_stereo=jnp.zeros(mapping_mod.MAX_BA_OBS, bool),
+        obs_valid=jnp.zeros(mapping_mod.MAX_BA_OBS, bool),
+    )
+    lres = local_ba.local_bundle_adjustment(
+        lprob, jnp.int32(0), cam
+    )
+    _ = jax.device_get(lres.newest_cov)
+
+    lc = system.loop_closer
+    gprob = local_ba.BAProblem(
+        kf_pose=jnp.tile(jnp.eye(4), (lc.GBA_KF, 1, 1)),
+        kf_fixed=jnp.zeros(lc.GBA_KF, bool).at[0].set(True),
+        kf_valid=jnp.zeros(lc.GBA_KF, bool).at[:2].set(True),
+        pt_pos=jnp.zeros((lc.GBA_PT, 3)),
+        pt_valid=jnp.zeros(lc.GBA_PT, bool),
+        obs_kf=jnp.zeros(lc.GBA_OBS, jnp.int32),
+        obs_pt=jnp.zeros(lc.GBA_OBS, jnp.int32),
+        obs_uvr=jnp.zeros((lc.GBA_OBS, 3)),
+        obs_sigma2=jnp.ones(lc.GBA_OBS),
+        obs_is_stereo=jnp.zeros(lc.GBA_OBS, bool),
+        obs_valid=jnp.zeros(lc.GBA_OBS, bool),
+    )
+    gres = local_ba.global_bundle_adjustment(gprob, cam, iterations=10)
+    _ = jax.device_get(gres.obs_inlier)
+
+
 def main() -> None:
     from sivo_tpu.config import SystemConfig
     from sivo_tpu.io import synthetic
+    from sivo_tpu.place import vocabulary as voc_mod
     from sivo_tpu.runtime import frame as frame_mod
     from sivo_tpu.runtime.system import System
+    from sivo_tpu.utils.fetch import fetch_packed
 
     cfg = SystemConfig()  # KITTI03 defaults: 1024x352, fx=721.5, 2000 feats
     cfg = dataclasses.replace(
@@ -38,11 +142,15 @@ def main() -> None:
             cfg.semantic, th_entropy_reduction=2.0
         ),
     )
-    n_frames = 28
+    # out-and-back: the return leg revisits the outbound corridor so
+    # BoW loop detection + Sim3 correction run inside the bench
+    n_out = 26
     world = synthetic.make_world(
         cfg.camera, seed=0, half_width=12.0, length=240.0
     )
-    gt = synthetic.forward_trajectory(n_frames=n_frames, speed=1.1)
+    fwd = synthetic.forward_trajectory(n_frames=n_out, speed=1.1)
+    gt = np.concatenate([fwd, fwd[::-1][1:]])
+    n_frames = len(gt)
     left, right, clsmaps = synthetic.render_sequence(world, gt)
     # uint8 uploads: the host->device link is the bottleneck
     left_color = np.repeat(
@@ -54,10 +162,17 @@ def main() -> None:
     # tracking policy consumes CNN-like structured semantics derived
     # from the renderer's class maps (graded per-pixel entropy: with a
     # CONSTANT raster the SIVO criterion degenerates to all-or-nothing
-    # creation, which no real posterior produces)
-    sem_frames = [
-        synthetic.structured_semantics(c, seed=7) for c in clsmaps
-    ]
+    # creation, which no real posterior produces). Quantized uploads
+    # (confidence u8, entropy f16): raster bytes are the frame-loop
+    # bottleneck.
+    sem_frames = []
+    for c in clsmaps:
+        cls_r, conf_r, ent_r = synthetic.structured_semantics(c, seed=7)
+        sem_frames.append((
+            np.asarray(cls_r, np.uint8),
+            np.clip(np.asarray(conf_r) * 255.0, 0, 255).astype(np.uint8),
+            np.asarray(ent_r, np.float16),
+        ))
     use_cnn = jnp.asarray(False)
 
     system = System(cfg=cfg, max_keyframes=256, max_points=131072)
@@ -81,6 +196,20 @@ def main() -> None:
                 ),
             )
 
+    # train a session vocabulary from a few outbound frames' ORB
+    # descriptors (the reference ships a pre-trained ORBvoc.txt, absent
+    # here; k^L = 8^3 words is plenty for one corridor)
+    voc_desc = []
+    for i in (0, n_out // 2, n_out - 1):
+        build(i)
+        f = built[i]
+        h = fetch_packed(
+            {"desc": f.desc_u8, "sem": f.semantic}
+        )
+        voc_desc.append(np.asarray(h["desc"])[np.asarray(h["sem"])])
+    voc = voc_mod.train(np.concatenate(voc_desc), k=8, depth=3, seed=0)
+    system.attach_vocabulary(voc)
+
     def run_frame(i: int) -> None:
         build(i)
         f = built.pop(i)
@@ -91,12 +220,13 @@ def main() -> None:
     # keyframe pipeline (mapping, triangulation, BA) has run twice
     warm = 0
     kf_events = 0
-    while warm < n_frames - 10 and (warm < 4 or kf_events < 2):
+    while warm < n_out - 8 and (warm < 4 or kf_events < 2):
         kf_before = system.map.n_keyframes
         run_frame(warm)
         if system.map.n_keyframes > kf_before:
             kf_events += 1
         warm += 1
+    _warm_loop_programs(system)
     system.timer.totals.clear()
     system.timer.counts.clear()
     system.timer.samples.clear()
@@ -112,7 +242,13 @@ def main() -> None:
     est = system.frame_poses()
     est = est[: len(gt)]
     ate = synthetic.ate_rmse(est, gt[: len(est)])
-    n_lost_main = system.n_lost()
+    n_lost_all = sum(
+        1 for r in system.tracker.trajectory if r.lost
+    )
+    loops = (
+        system.loop_closer.loops_closed
+        if system.loop_closer is not None else 0
+    )
 
     # pure-tracking FPS: localization mode against the built map
     # (no keyframe pipeline) — the per-frame hot path in isolation
@@ -124,6 +260,9 @@ def main() -> None:
     system.flush()
     _ = np.asarray(system.tracker.last_pose)
     fps_tracking = n_loc / (time.time() - t0)
+    n_lost_loc = sum(
+        1 for r in system.tracker.trajectory[-n_loc:] if r.lost
+    )
     system.deactivate_localization_mode()
 
     # relay calibration: the TPU sits behind a shared relay whose
@@ -156,9 +295,13 @@ def main() -> None:
         "detail": {
             "frames": n_frames,
             "warmup": warm,
-            "lost": n_lost_main,
+            "lost": n_lost_all,
+            "lost_localization_replay": n_lost_loc,
             "keyframes": system.map.n_keyframes,
-            "map_points": system.map.n_points,
+            "map_points": int(
+                system.map.pt_valid[: system.map.n_points].sum()
+            ),
+            "loops_closed": loops,
             "ate_m": round(float(ate), 3),
             "ms_per_frame": round(dt * 1000, 1),
             "tracking_only_fps": round(fps_tracking, 2),

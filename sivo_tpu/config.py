@@ -69,6 +69,14 @@ class SemanticConfig:
     num_classes: int = 15
     mc_samples: int = 3  # prototxt input_dim[0]; "SET SAMPLE SIZE HERE"
     static_class_max: int = 8  # Classes::TERRAIN (ref: Frame.cc:190)
+    # True = the SIVO paper's greedy sequential selection with a
+    # covariance-only Kalman update after every accepted feature
+    # (arXiv 1811.11946 §III-B; sivo_helpers.cpp:221-240). False =
+    # batch scoring against the static per-frame covariance, which is
+    # what the reference BINARY actually does — its update function is
+    # implemented but never called (see select/info.py::
+    # sequential_selection_stereo for the verification).
+    sequential_selection: bool = True
 
 
 @dataclass(frozen=True)

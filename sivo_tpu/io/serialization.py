@@ -85,9 +85,10 @@ def load_map(path: str) -> MapState:
         "pt_first_kf",
     ):
         getattr(m, name)[:P] = z[name]
-    obs = z["observations"]
-    m._obs_kf = obs[:, 0].tolist()
-    m._obs_pt = obs[:, 1].tolist()
-    m._obs_kp = obs[:, 2].tolist()
+    obs = np.asarray(z["observations"], np.int64)
+    m._obs_reserve(len(obs))
+    m._obs[: len(obs)] = obs
+    m._obs_alive[: len(obs)] = True
+    m._obs_n = len(obs)
     m._obs_dirty = True
     return m

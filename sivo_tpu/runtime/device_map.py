@@ -20,12 +20,16 @@ import jax
 import jax.numpy as jnp
 
 
+DESC_RING = 4  # recent keyframe observations kept per point
+
+
 class DeviceMap(NamedTuple):
     pt_pos: jnp.ndarray  # (P, 3) f32 world positions
     pt_normal: jnp.ndarray  # (P, 3) f32 mean viewing direction
     pt_min_dist: jnp.ndarray  # (P,) f32
     pt_max_dist: jnp.ndarray  # (P,) f32
-    pt_desc_u8: jnp.ndarray  # (P, 32) uint8 packed rBRIEF
+    pt_desc_u8: jnp.ndarray  # (P, 32) uint8 distinctive descriptor
+    pt_desc_ring: jnp.ndarray  # (P, DESC_RING, 32) recent observations
     pt_class: jnp.ndarray  # (P,) uint8 semantic class (255 = unset)
     pt_valid: jnp.ndarray  # (P,) bool
     pt_obs_count: jnp.ndarray  # (P,) int32
@@ -45,6 +49,9 @@ def make_device_map(capacity: int) -> DeviceMap:
         pt_min_dist=jnp.zeros(capacity, jnp.float32),
         pt_max_dist=jnp.zeros(capacity, jnp.float32),
         pt_desc_u8=jnp.zeros((capacity, 32), jnp.uint8),
+        pt_desc_ring=jnp.zeros(
+            (capacity, DESC_RING, 32), jnp.uint8
+        ),
         pt_class=jnp.full(capacity, 255, jnp.uint8),
         pt_valid=jnp.zeros(capacity, bool),
         pt_obs_count=jnp.zeros(capacity, jnp.int32),
@@ -90,6 +97,12 @@ def add_points(
     level_sf = scale_factor ** levels.astype(jnp.float32)
     max_dist = dist * level_sf
     min_dist = max_dist / (scale_factor ** (n_levels - 1))
+    ring = dmap.pt_desc_ring.at[ids].set(
+        jnp.broadcast_to(
+            desc_u8[:, None, :], (n, DESC_RING, 32)
+        ),
+        mode="drop",
+    )
     new = dmap._replace(
         pt_pos=dmap.pt_pos.at[ids].set(xw, mode="drop"),
         pt_normal=dmap.pt_normal.at[ids].set(
@@ -102,6 +115,7 @@ def add_points(
             1.2 * max_dist, mode="drop"
         ),
         pt_desc_u8=dmap.pt_desc_u8.at[ids].set(desc_u8, mode="drop"),
+        pt_desc_ring=ring,
         pt_class=dmap.pt_class.at[ids].set(classes, mode="drop"),
         pt_valid=dmap.pt_valid.at[ids].set(True, mode="drop"),
         pt_obs_count=dmap.pt_obs_count.at[ids].set(1, mode="drop"),
@@ -139,23 +153,50 @@ def observe_points(
 
     Descriptor note: the reference recomputes the min-median-Hamming
     descriptor over ALL observations (ref: MapPoint.cc:284-347
-    ComputeDistinctiveDescriptors); keeping the latest KEYFRAME
-    observation's descriptor is the streaming equivalent — it tracks
-    current appearance without storing per-observation descriptor
-    history on device (and, unlike a per-frame update, cannot walk the
-    template between keyframes).
+    ComputeDistinctiveDescriptors). The device equivalent keeps a ring
+    of the last DESC_RING keyframe observations per point and selects
+    the ring member with the smallest median Hamming distance to the
+    others — the same "most central appearance" semantics over a
+    bounded window (unbounded per-observation history does not fit a
+    fixed-capacity device layout; beyond ~4 observations the reference
+    median is dominated by recent views of the current approach
+    anyway).
     """
     has = pt_idx >= 0
     idx = jnp.where(has, pt_idx, dmap.capacity)
+    obs_before = dmap.pt_obs_count[
+        jnp.clip(pt_idx, 0, dmap.capacity - 1)
+    ]
     obs = dmap.pt_obs_count.at[idx].add(1, mode="drop")
     stored = dmap.pt_class[jnp.clip(pt_idx, 0, dmap.capacity - 1)]
     fresh = has & (stored == 255)
     cls = dmap.pt_class.at[jnp.where(fresh, idx, dmap.capacity)].set(
         classes, mode="drop"
     )
-    desc = dmap.pt_desc_u8.at[idx].set(desc_u8, mode="drop")
+    # ring insert at slot obs_count % DESC_RING
+    slot = jnp.where(has, obs_before % DESC_RING, 0)
+    ring = dmap.pt_desc_ring.at[idx, slot].set(desc_u8, mode="drop")
+    # min-median-Hamming among the ring (for points observed fewer
+    # than DESC_RING times the empty slots were pre-filled with the
+    # creation descriptor, so they bias the median toward it — the
+    # correct prior)
+    touched = jnp.clip(pt_idx, 0, dmap.capacity - 1)
+    r = ring[touched]  # (N, R, 32) uint8
+    bits = unpack_bits(r)  # (N, R, 256)
+    dist = jnp.sum(
+        jnp.abs(bits[:, :, None, :] - bits[:, None, :, :]), axis=-1
+    )  # (N, R, R) pairwise Hamming
+    med = jnp.median(dist, axis=-1)  # (N, R)
+    best = jnp.argmin(med, axis=-1)  # (N,)
+    distinctive = jnp.take_along_axis(
+        r, best[:, None, None], axis=1
+    )[:, 0]
+    desc = dmap.pt_desc_u8.at[idx].set(distinctive, mode="drop")
     return dmap._replace(
-        pt_obs_count=obs, pt_class=cls, pt_desc_u8=desc
+        pt_obs_count=obs,
+        pt_class=cls,
+        pt_desc_u8=desc,
+        pt_desc_ring=ring,
     )
 
 

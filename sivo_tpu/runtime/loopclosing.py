@@ -55,7 +55,14 @@ class LoopCloser:
 
     # -- helpers -------------------------------------------------------------
 
-    def _kf_bits(self, kf_idx: int) -> jnp.ndarray:
+    def _kf_bits(self, kf_idx: int, tracker=None) -> jnp.ndarray:
+        """Keyframe descriptor bits. With a tracker, gathered from the
+        device keyframe store (zero upload); the host fallback uploads
+        ~2 MB through the relay and exists for store-less callers."""
+        if tracker is not None:
+            return device_map.unpack_bits(
+                tracker.kf_store.desc_u8[kf_idx]
+            )
         d = self.map.kf_data[kf_idx]
         return jnp.asarray(
             np.unpackbits(
@@ -63,10 +70,13 @@ class LoopCloser:
             ).astype(np.float32)
         )
 
-    def _bow(self, kf_idx: int) -> dict[int, float]:
-        d = self.map.kf_data[kf_idx]
+    def _bow(self, kf_idx: int, tracker=None) -> dict[int, float]:
+        if tracker is not None:
+            sem = tracker.kf_store.semantic[kf_idx]
+        else:
+            sem = jnp.asarray(self.map.kf_data[kf_idx].semantic)
         words, _ = voc_mod.transform(
-            self.voc, self._kf_bits(kf_idx), jnp.asarray(d.semantic)
+            self.voc, self._kf_bits(kf_idx, tracker), sem
         )
         return voc_mod.bow_vector(self.voc, words)
 
@@ -84,14 +94,14 @@ class LoopCloser:
 
     def process_keyframe(self, tracker, kf_idx: int) -> bool:
         """Returns True if a loop was closed at this keyframe."""
-        bow = self._bow(kf_idx)
+        bow = self._bow(kf_idx, tracker)
         closed = False
         # the reference runs Sim3 RANSAC over ALL consistency-passing
         # candidates and takes the first that converges
         # (ref: LoopClosing.cc:242-340) — one bad candidate must not
         # kill a real loop
         for cand in self._detect_loop(kf_idx, bow):
-            result = self._compute_sim3(kf_idx, cand)
+            result = self._compute_sim3(kf_idx, cand, tracker)
             if result is not None:
                 self._correct_loop(tracker, kf_idx, cand, result)
                 closed = True
@@ -146,7 +156,7 @@ class LoopCloser:
         self.consistent_groups = new_groups
         return enough
 
-    def _compute_sim3(self, kf_idx: int, cand: int):
+    def _compute_sim3(self, kf_idx: int, cand: int, tracker=None):
         """ref: LoopClosing.cc:242-404 ComputeSim3 (single candidate;
         BoW gating replaced by MXU brute-force with the same accept
         tests)."""
@@ -155,10 +165,10 @@ class LoopCloser:
         pts1 = self._kf_point_ids(kf_idx)
         pts2 = self._kf_point_ids(cand)
         m = matching.search_brute_force(
-            self._kf_bits(kf_idx),
+            self._kf_bits(kf_idx, tracker),
             jnp.asarray(pts1 >= 0),
             jnp.asarray(d1.angle),
-            self._kf_bits(cand),
+            self._kf_bits(cand, tracker),
             jnp.asarray(pts2 >= 0),
             jnp.asarray(d2.angle),
             nn_ratio=0.75,  # ref: LoopClosing.cc:249
@@ -230,10 +240,10 @@ class LoopCloser:
             g12.s, g12.R, g12.t,
             jnp.asarray(pc1_all), jnp.asarray(has1),
             jnp.asarray(d1.xy), jnp.asarray(d1.level),
-            self._kf_bits(kf_idx),
+            self._kf_bits(kf_idx, tracker),
             jnp.asarray(pc2_all), jnp.asarray(has2),
             jnp.asarray(d2.xy), jnp.asarray(d2.level),
-            self._kf_bits(cand),
+            self._kf_bits(cand, tracker),
             scales,
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
         )
@@ -320,26 +330,38 @@ class LoopCloser:
             )
             E = E_cap
         K_cap = max(64, 1 << (K - 1).bit_length())
+        # pad the edge axis to power-of-2 buckets: exact-count shapes
+        # recompile the pose-graph program at every closure (~10-40 s
+        # on TPU)
+        E_pad = max(256, 1 << (E - 1).bit_length())
         fixed = np.zeros(K_cap, bool)
         fixed[cand] = True  # ref: :1010 fixes the loop keyframe
         valid_kf = np.zeros(K_cap, bool)
         valid_kf[:K] = True
         poses = np.tile(np.eye(4, dtype=np.float32), (K_cap, 1, 1))
         poses[:K] = seed_poses
-        mR = np.stack([x[:3, :3] for x in meas])
-        mt = np.stack([x[:3, 3] for x in meas])
+        mR = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
+        mR[:E] = np.stack([x[:3, :3] for x in meas])
+        mt = np.zeros((E_pad, 3), np.float32)
+        mt[:E] = np.stack([x[:3, 3] for x in meas])
+        ei = np.zeros(E_pad, np.int32)
+        ei[:E] = edges_i
+        ej = np.zeros(E_pad, np.int32)
+        ej[:E] = edges_j
+        ev = np.zeros(E_pad, bool)
+        ev[:E] = True
         prob = pose_graph.PoseGraphProblem(
             s=jnp.ones(K_cap),
             R=jnp.asarray(poses[:, :3, :3]),
             t=jnp.asarray(poses[:, :3, 3]),
             fixed=jnp.asarray(fixed),
             valid=jnp.asarray(valid_kf),
-            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
-            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
-            meas_s=jnp.ones(E),
+            edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej),
+            meas_s=jnp.ones(E_pad),
             meas_R=jnp.asarray(mR),
             meas_t=jnp.asarray(mt),
-            edge_valid=jnp.ones(E, bool),
+            edge_valid=jnp.asarray(ev),
         )
         s, R, t = pose_graph.optimize_essential_graph(prob)
         from sivo_tpu.utils.fetch import fetch_packed
@@ -404,7 +426,7 @@ class LoopCloser:
         current window and merge duplicates, loop points winning
         (ref: LoopClosing.cc:609-635 — pRep->Replace(mvpLoopMapPoints));
         free keypoints gain observations of loop points."""
-        from sivo_tpu.runtime.mapping import _fuse_program
+        from sivo_tpu.runtime.mapping import _fuse_gather_program
 
         m = self.map
         # loop map points: seen by the candidate's covisible group
@@ -425,36 +447,25 @@ class LoopCloser:
         alive[: len(loop_pts)] = True
 
         targets = sorted(window)[:10]
-        B, N = 10, m.kp_capacity
+        B = 10
+        nb_pad = np.zeros(B, np.int32)
+        nb_pad[: len(targets)] = targets
+        nb_live = np.zeros(B, bool)
+        nb_live[: len(targets)] = True
         nb_pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-        nb_xy = np.zeros((B, N, 2), np.float32)
-        nb_level = np.zeros((B, N), np.int32)
-        nb_desc = np.zeros((B, N, 32), np.uint8)
-        nb_ur = np.full((B, N), -1.0, np.float32)
-        nb_sem = np.zeros((B, N), bool)
-        for i, k in enumerate(targets):
-            d = m.kf_data[k]
-            nb_pose[i] = m.kf_pose[k]
-            nb_xy[i] = d.xy
-            nb_level[i] = d.level
-            nb_desc[i] = d.desc_u8
-            nb_ur[i] = d.u_right
-            nb_sem[i] = d.semantic
+        nb_pose[: len(targets)] = m.kf_pose[targets]
+        # corrected point positions were pushed to the device map just
+        # before this call; keyframe arrays come from the device store
         src_all = np.asarray(
             jax.device_get(
-                _fuse_program(
-                    jnp.asarray(m.pt_pos[pad]),
-                    jnp.asarray(m.pt_normal[pad]),
-                    jnp.asarray(m.pt_min_dist[pad]),
-                    jnp.asarray(m.pt_max_dist[pad]),
-                    jnp.asarray(m.pt_desc_u8[pad]),
+                _fuse_gather_program(
+                    tracker.dmap,
+                    tracker.kf_store,
+                    jnp.asarray(pad.astype(np.int32)),
                     jnp.asarray(alive),
+                    jnp.asarray(nb_pad),
                     jnp.asarray(nb_pose),
-                    jnp.asarray(nb_xy),
-                    jnp.asarray(nb_level),
-                    jnp.asarray(nb_desc),
-                    jnp.asarray(nb_ur),
-                    jnp.asarray(nb_sem),
+                    jnp.asarray(nb_live),
                     self.cam,
                     self.cfg.orb.scale_factor,
                     self.cfg.orb.n_levels,

@@ -81,12 +81,55 @@ class MapState:
         self.pt_found = np.zeros(P, np.int32)
         self.n_points = 0
 
-        # observation table: rows (kf, pt, kp_index)
-        self._obs_kf: list[int] = []
-        self._obs_pt: list[int] = []
-        self._obs_kp: list[int] = []
+        # observation table: rows (kf, pt, kp_index) in a growable
+        # numpy array with a per-row alive mask — every mutation is
+        # vectorized (the round-1 Python-list/tuple-set version was
+        # O(obs) *python-level* per BA call and would not survive
+        # KITTI 00's ~1500 keyframes)
+        self._obs = np.zeros((4096, 3), np.int64)
+        self._obs_alive = np.zeros(4096, bool)
+        self._obs_n = 0
         self._obs_dirty = True
         self._obs_arr = np.zeros((0, 3), np.int64)
+
+    # -- observation-table internals ---------------------------------------
+
+    def _obs_reserve(self, m: int) -> None:
+        need = self._obs_n + m
+        cap = len(self._obs)
+        if need <= cap:
+            return
+        while cap < need:
+            cap *= 2
+        obs = np.zeros((cap, 3), np.int64)
+        alive = np.zeros(cap, bool)
+        obs[: self._obs_n] = self._obs[: self._obs_n]
+        alive[: self._obs_n] = self._obs_alive[: self._obs_n]
+        self._obs = obs
+        self._obs_alive = alive
+
+    def _obs_append(
+        self, kf_idx: int, pt_ids: np.ndarray, kp_indices: np.ndarray
+    ) -> None:
+        m = len(pt_ids)
+        if m == 0:
+            return
+        self._obs_reserve(m)
+        n = self._obs_n
+        self._obs[n : n + m, 0] = kf_idx
+        self._obs[n : n + m, 1] = pt_ids
+        self._obs[n : n + m, 2] = kp_indices
+        self._obs_alive[n : n + m] = True
+        self._obs_n = n + m
+        self._obs_dirty = True
+
+    @staticmethod
+    def _obs_key(rows: np.ndarray) -> np.ndarray:
+        """Encode (kf, pt, kp) rows as single int64 keys (kf < 2^18,
+        pt < 2^28, kp < 2^18)."""
+        return (
+            (rows[:, 0] << 46) | (rows[:, 1] << 18) | rows[:, 2]
+        )
 
     # -- keyframes --------------------------------------------------------
 
@@ -143,11 +186,7 @@ class MapState:
         self.pt_ref_kf[ids] = kf_idx
         self.pt_first_kf[ids] = kf_idx
         self.n_points += m
-        for pid, kp in zip(ids, kp_indices):
-            self._obs_kf.append(kf_idx)
-            self._obs_pt.append(int(pid))
-            self._obs_kp.append(int(kp))
-        self._obs_dirty = True
+        self._obs_append(kf_idx, ids, np.asarray(kp_indices))
         return ids
 
     def mirror_points(
@@ -182,37 +221,27 @@ class MapState:
         self.pt_ref_kf[pt_ids] = kf_idx
         self.pt_first_kf[pt_ids] = kf_idx
         self.n_points = max(self.n_points, int(pt_ids.max()) + 1)
-        for pid, kp in zip(pt_ids, kp_indices):
-            self._obs_kf.append(kf_idx)
-            self._obs_pt.append(int(pid))
-            self._obs_kp.append(int(kp))
-        self._obs_dirty = True
+        self._obs_append(
+            kf_idx, np.asarray(pt_ids), np.asarray(kp_indices)
+        )
 
     def add_observations(
         self, kf_idx: int, pt_ids: np.ndarray, kp_indices: np.ndarray
     ) -> None:
-        for pid, kp in zip(pt_ids, kp_indices):
-            self._obs_kf.append(kf_idx)
-            self._obs_pt.append(int(pid))
-            self._obs_kp.append(int(kp))
-        self._obs_dirty = True
+        self._obs_append(
+            kf_idx, np.asarray(pt_ids), np.asarray(kp_indices)
+        )
 
     def erase_observations(self, rows: np.ndarray) -> None:
         """Remove specific (kf, pt, kp) observation rows (BA outlier
-        erasure, ref: Optimizer.cc:822-870)."""
+        erasure, ref: Optimizer.cc:822-870). Vectorized via int64 row
+        keys — no python-level loop over the table."""
         if len(rows) == 0:
             return
-        arr = np.array(
-            [self._obs_kf, self._obs_pt, self._obs_kp], np.int64
-        ).T
-        bad = set(map(tuple, rows.tolist()))
-        keep = [
-            i for i, r in enumerate(map(tuple, arr.tolist()))
-            if r not in bad
-        ]
-        self._obs_kf = [self._obs_kf[i] for i in keep]
-        self._obs_pt = [self._obs_pt[i] for i in keep]
-        self._obs_kp = [self._obs_kp[i] for i in keep]
+        n = self._obs_n
+        keys = self._obs_key(self._obs[:n])
+        bad = self._obs_key(np.asarray(rows, np.int64))
+        self._obs_alive[:n] &= ~np.isin(keys, bad)
         self._obs_dirty = True
 
     def replace_point(self, kill: int, keep: int) -> None:
@@ -220,14 +249,20 @@ class MapState:
         rewrite observations of ``kill`` to ``keep`` (dropping ones
         where the keyframe already observes ``keep``) and invalidate
         ``kill``."""
-        pt = np.asarray(self._obs_pt)
-        kf = np.asarray(self._obs_kf)
-        keep_kfs = set(kf[pt == keep].tolist())
-        for i in np.where(pt == kill)[0]:
-            k = int(kf[i])
-            if k not in keep_kfs:
-                self._obs_pt[i] = keep
-                keep_kfs.add(k)
+        n = self._obs_n
+        obs = self._obs[:n]
+        alive = self._obs_alive[:n]
+        keep_kfs = obs[alive & (obs[:, 1] == keep), 0]
+        kill_rows = np.where(alive & (obs[:, 1] == kill))[0]
+        if len(kill_rows):
+            ok = ~np.isin(obs[kill_rows, 0], keep_kfs)
+            cand = kill_rows[ok]
+            # at most one rewritten row per keyframe (first wins)
+            _, first = np.unique(obs[cand, 0], return_index=True)
+            rewrite = cand[first]
+            self._obs[rewrite, 1] = keep
+            drop = np.setdiff1d(kill_rows, rewrite, assume_unique=True)
+            self._obs_alive[drop] = False
         self.pt_valid[kill] = False
         self.pt_found[keep] += self.pt_found[kill]
         self.pt_visible[keep] += self.pt_visible[kill]
@@ -254,12 +289,8 @@ class MapState:
     def observations(self) -> np.ndarray:
         """(O, 3) int array (kf, pt, kp), filtered to live points/KFs."""
         if self._obs_dirty:
-            arr = np.array(
-                [self._obs_kf, self._obs_pt, self._obs_kp], np.int64
-            ).T
-            if len(arr) == 0:
-                arr = np.zeros((0, 3), np.int64)
-            self._obs_arr = arr
+            n = self._obs_n
+            self._obs_arr = self._obs[:n][self._obs_alive[:n]]
             self._obs_dirty = False
         arr = self._obs_arr
         if len(arr) == 0:
@@ -366,7 +397,6 @@ class MapState:
         self.kf_parent[:] = -1
         self.n_keyframes = 0
         self.n_points = 0
-        self._obs_kf.clear()
-        self._obs_pt.clear()
-        self._obs_kp.clear()
+        self._obs_n = 0
+        self._obs_alive[:] = False
         self._obs_dirty = True

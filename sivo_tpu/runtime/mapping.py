@@ -36,10 +36,7 @@ MAX_BA_OBS = 8192
 FUSE_NEIGHBORS = 10
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
-)
-def _fuse_program(
+def _fuse_program_impl(
     pt_pos, pt_normal, pt_mind, pt_maxd, pt_desc_u8, pt_alive,
     nb_pose,  # (B, 4, 4)
     nb_xy, nb_level, nb_desc_u8, nb_ur, nb_sem,  # (B, N, ...)
@@ -74,6 +71,72 @@ def _fuse_program(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
+)
+def _tri_gather_program(
+    store,  # DeviceKFStore
+    kf_slot,  # () int32 the new keyframe
+    T1w,  # (4, 4)
+    host_free1,  # (N,) bool — kp1 has no map point (host obs table)
+    cov1,  # (6, 6)
+    nb_idx,  # (B,) int32 neighbor slots
+    t2,  # (B, 4, 4)
+    host_free2,  # (B, N) bool
+    nb_valid,  # (B,) bool
+    th_confidence, th_entropy,
+    cam, scale_factor: float, n_levels: int,
+):
+    """Batched epipolar triangulation with keyframe arrays gathered
+    from the device store (ref: LocalMapping.cc:198-472; see
+    ops.triangulation.triangulate_neighbors for the math)."""
+    from sivo_tpu.ops import triangulation as tri
+    from sivo_tpu.runtime import kf_store as kfs_mod
+
+    g1 = jax.tree.map(lambda f: f[kf_slot], store)
+    g2 = kfs_mod.gather(store, nb_idx)
+    return tri.triangulate_neighbors(
+        T1w, g1.xy, g1.level, g1.desc_u8,
+        host_free1 & g1.semantic, g1.u_right,
+        g1.sem_class, g1.sem_confidence, g1.sem_entropy, cov1,
+        t2, g2.xy, g2.level, g2.desc_u8,
+        host_free2 & g2.semantic, g2.sem_class, nb_valid,
+        th_confidence, th_entropy, cam, scale_factor, n_levels,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
+)
+def _fuse_gather_program(
+    dmap,  # DeviceMap (point mirror)
+    store,  # DeviceKFStore (keyframe mirror)
+    pt_ids,  # (P_CAP,) int32 candidate point ids
+    pt_alive,  # (P_CAP,) bool host-side liveness of the candidates
+    nb_idx,  # (B,) int32 neighbor keyframe slots
+    nb_pose,  # (B, 4, 4) poses (host truth: BA rewrites them)
+    nb_live,  # (B,) bool padding mask
+    cam, scale_factor: float, n_levels: int,
+):
+    """Fusion with all big inputs gathered on device (see
+    ``_fuse_program`` for the matching semantics; this variant ships
+    only indices + poses through the relay)."""
+    from sivo_tpu.runtime import kf_store as kfs_mod
+
+    g = kfs_mod.gather(store, nb_idx)
+    sem = g.semantic & nb_live[:, None]
+    return _fuse_program_impl(
+        dmap.pt_pos[pt_ids],
+        dmap.pt_normal[pt_ids],
+        dmap.pt_min_dist[pt_ids],
+        dmap.pt_max_dist[pt_ids],
+        dmap.pt_desc_u8[pt_ids],
+        pt_alive & dmap.pt_valid[pt_ids],
+        nb_pose, g.xy, g.level, g.desc_u8, g.u_right, sem,
+        cam, scale_factor, n_levels,
+    )
+
+
 @dataclass
 class LocalMapper:
     """Two-stage pipelined mapper.
@@ -97,10 +160,19 @@ class LocalMapper:
     def __post_init__(self):
         self._phase1 = None
         self._ba = None
+        # pending keyframes not yet admitted to phase 1 (the
+        # reference's mlNewKeyFrames queue, LocalMapping.cc:116-125);
+        # the tracker's keyframe decision reads queue_len for
+        # backpressure (ref: Tracking.cc:905-911 KeyframesInQueue)
+        self._queue: list[int] = []
         # notification hook: culled keyframes must leave the loop
         # closer's inverted file (ref: KeyFrameDatabase.cc:49-65 erase
         # via KeyFrame::SetBadFlag)
         self.on_kf_culled = None
+
+    @property
+    def queue_len(self) -> int:
+        return len(self._queue)
 
     def _stage(self, name: str):
         import contextlib
@@ -111,7 +183,11 @@ class LocalMapper:
 
     @property
     def busy(self) -> bool:
-        return self._phase1 is not None or self._ba is not None
+        return (
+            self._phase1 is not None
+            or self._ba is not None
+            or bool(self._queue)
+        )
 
     def process_keyframe(self, tracker, kf_idx: int) -> list[int]:
         """Synchronous mapping for one keyframe (tests / simple
@@ -120,14 +196,21 @@ class LocalMapper:
         return done + self.drain(tracker)
 
     def on_keyframe(self, tracker, kf_idx: int) -> list[int]:
-        """Admit a freshly inserted keyframe to the pipeline. Any
-        previous keyframe still in flight is drained first (the
-        reference's backpressure: Tracking.cc:905-908 inserts only when
-        the mapper queue is short). Returns keyframes whose pipeline
-        completed during the drain."""
+        """Enqueue a freshly inserted keyframe (the reference's
+        InsertKeyFrame, LocalMapping.cc:116-120 — never blocks the
+        tracking thread) and advance the pipeline once."""
+        self._queue.append(kf_idx)
+        return self.advance(tracker)
+
+    def _admit(self, tracker) -> None:
+        """Move the oldest queued keyframe into phase 1. The keyframe's
+        host bookkeeping (the async keypoint fetch started at insertion)
+        is completed first — phase 1 neighbor selection needs the
+        observation table."""
         from sivo_tpu.utils.fetch import fetch_packed_async
 
-        done = self.drain(tracker)
+        kf_idx = self._queue.pop(0)
+        tracker.finish_kf_host(kf_idx)
         with self._stage("map.phase1_dispatch"):
             outs = {}
             ctx_cull = self._cull_dispatch(tracker, outs)
@@ -143,7 +226,6 @@ class LocalMapper:
             "ctx_fuse": ctx_fuse,
             "future": future,
         }
-        return done
 
     def advance(self, tracker, block: bool = False) -> list[int]:
         """Apply pipeline stages whose fetches have landed; called once
@@ -177,11 +259,20 @@ class LocalMapper:
                     self._fuse_apply(
                         tracker, kf_idx, p["ctx_fuse"], fetched
                     )
-            if self.map.n_keyframes >= 2:
+            # local BA runs only when no newer keyframe is waiting —
+            # the reference's exact interleave (LocalMapping.cc:80-88:
+            # BA only if !CheckNewKeyFrames(), i.e. queued keyframes
+            # abort/skip the solve and the last keyframe's BA covers
+            # the window)
+            if self.map.n_keyframes >= 2 and not self._queue:
                 with self._stage("map.ba_dispatch"):
                     self._ba = self._ba_dispatch(tracker, kf_idx)
             if self._ba is None:
                 done.append(kf_idx)
+        if self._phase1 is None and self._queue:
+            self._admit(tracker)
+            if block and self._phase1 is not None:
+                done += self.advance(tracker, block=True)
         return done
 
     def drain(self, tracker) -> list[int]:
@@ -215,32 +306,26 @@ class LocalMapper:
         alive[: len(pt_ids)] = m.pt_valid[pad[: len(pt_ids)]]
 
         B = FUSE_NEIGHBORS
-        N = m.kp_capacity
         neighbors = neighbors[:B]
+        # point data: gathered from the device map mirror; neighbor KF
+        # data: gathered from the device keyframe store — the only
+        # uploads are the index vectors and B poses (round 1 shipped
+        # ~1 MB of host arrays per keyframe through the relay here)
+        nb_pad = np.zeros(B, np.int32)
+        nb_pad[: len(neighbors)] = neighbors
         nb_pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-        nb_xy = np.zeros((B, N, 2), np.float32)
-        nb_level = np.zeros((B, N), np.int32)
-        nb_desc = np.zeros((B, N, 32), np.uint8)
-        nb_ur = np.full((B, N), -1.0, np.float32)
-        nb_sem = np.zeros((B, N), bool)
-        for i, nb in enumerate(neighbors):
-            d2 = m.kf_data[nb]
-            nb_pose[i] = m.kf_pose[nb]
-            nb_xy[i] = d2.xy
-            nb_level[i] = d2.level
-            nb_desc[i] = d2.desc_u8
-            nb_ur[i] = d2.u_right
-            nb_sem[i] = d2.semantic
-        src_all = _fuse_program(
-            jnp.asarray(m.pt_pos[pad]),
-            jnp.asarray(m.pt_normal[pad]),
-            jnp.asarray(m.pt_min_dist[pad]),
-            jnp.asarray(m.pt_max_dist[pad]),
-            jnp.asarray(m.pt_desc_u8[pad]),
+        nb_pose[: len(neighbors)] = m.kf_pose[neighbors]
+        # mask out padding slots (semantic=False kills all their kps)
+        nb_live = np.zeros(B, bool)
+        nb_live[: len(neighbors)] = True
+        src_all = _fuse_gather_program(
+            tracker.dmap,
+            tracker.kf_store,
+            jnp.asarray(pad.astype(np.int32)),
             jnp.asarray(alive),
-            jnp.asarray(nb_pose), jnp.asarray(nb_xy),
-            jnp.asarray(nb_level), jnp.asarray(nb_desc),
-            jnp.asarray(nb_ur), jnp.asarray(nb_sem),
+            jnp.asarray(nb_pad),
+            jnp.asarray(nb_pose),
+            jnp.asarray(nb_live),
             tracker.cam, self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
         )
@@ -324,8 +409,6 @@ class LocalMapper:
         """CreateNewMapPoints device phase (ref: LocalMapping.cc:
         198-472): batched epipolar triangulation dispatch against the
         top covisible neighbors, gated by CheckSemantics."""
-        from sivo_tpu.ops import triangulation as tri
-
         m = self.map
         covis = m.covisibility(kf_idx)
         order = np.argsort(-covis)
@@ -336,7 +419,6 @@ class LocalMapper:
             return
         d1 = m.kf_data[kf_idx]
         pts1 = self._kf_point_ids(kf_idx)
-        free1 = (pts1 < 0) & d1.semantic
         baseline = self.cam.bf / self.cam.fx
         c1 = m.kf_camera_center(kf_idx)
         # stereo rule: skip neighbors closer than one baseline
@@ -347,40 +429,38 @@ class LocalMapper:
         ]
         if not neighbors:
             return
-        # all neighbors in one batched program + one fetch
+        # all neighbors in one batched program + one fetch; keyframe
+        # arrays come from the device store (gathered by slot), only
+        # the "keypoint has no map point yet" masks — host observation-
+        # table knowledge — plus poses/indices are uploaded
         B = self.cfg.mapping.n_triangulate_neighbors
         N = m.kp_capacity
         t2 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-        xy2 = np.zeros((B, N, 2), np.float32)
-        lvl2 = np.zeros((B, N), np.int32)
-        desc2 = np.zeros((B, N, 32), np.uint8)
-        free2 = np.zeros((B, N), bool)
-        cls2 = np.zeros((B, N), np.uint8)
+        free2 = np.zeros((B, N), bool)  # kp has no map point yet
+        nb_pad = np.zeros(B, np.int32)
         nb_valid = np.zeros(B, bool)
         for i, nb in enumerate(neighbors[:B]):
-            d2 = m.kf_data[nb]
             pts2 = self._kf_point_ids(nb)
             t2[i] = m.kf_pose[nb]
-            xy2[i] = d2.xy
-            lvl2[i] = d2.level
-            desc2[i] = d2.desc_u8
-            free2[i] = (pts2 < 0) & d2.semantic
-            cls2[i] = d2.sem_class
+            free2[i] = pts2 < 0
+            nb_pad[i] = nb
             nb_valid[i] = True
-        res = tri.triangulate_neighbors(
+        if not hasattr(self, "_th_dev"):
+            self._th_dev = (
+                jnp.float32(self.cfg.semantic.th_confidence),
+                jnp.float32(self.cfg.semantic.th_entropy_reduction),
+            )
+        res = _tri_gather_program(
+            tracker.kf_store,
+            jnp.int32(kf_idx),
             jnp.asarray(m.kf_pose[kf_idx]),
-            jnp.asarray(d1.xy), jnp.asarray(d1.level),
-            jnp.asarray(d1.desc_u8),
-            jnp.asarray(free1), jnp.asarray(d1.u_right),
-            jnp.asarray(d1.sem_class),
-            jnp.asarray(d1.sem_confidence),
-            jnp.asarray(d1.sem_entropy),
+            jnp.asarray(pts1 < 0),  # kp1 free as far as host knows
             jnp.asarray(m.kf_cov[kf_idx]),
-            jnp.asarray(t2), jnp.asarray(xy2), jnp.asarray(lvl2),
-            jnp.asarray(desc2), jnp.asarray(free2),
-            jnp.asarray(cls2), jnp.asarray(nb_valid),
-            jnp.float32(self.cfg.semantic.th_confidence),
-            jnp.float32(self.cfg.semantic.th_entropy_reduction),
+            jnp.asarray(nb_pad),
+            jnp.asarray(t2),
+            jnp.asarray(free2),
+            jnp.asarray(nb_valid),
+            self._th_dev[0], self._th_dev[1],
             self.cam,
             self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
@@ -656,32 +736,37 @@ class LocalMapper:
             obs_stereo[:o][sel] = ur > 0
         obs_valid[:o] = True
 
-        prob = local_ba.BAProblem(
-            kf_pose=jnp.asarray(poses),
-            kf_fixed=jnp.asarray(fixed),
-            kf_valid=jnp.asarray(valid_kf),
-            pt_pos=jnp.asarray(pts),
-            pt_valid=jnp.asarray(valid_pt),
-            obs_kf=jnp.asarray(obs_kf),
-            obs_pt=jnp.asarray(obs_pt),
-            obs_uvr=jnp.asarray(obs_uvr),
-            obs_sigma2=jnp.asarray(obs_sigma2),
-            obs_is_stereo=jnp.asarray(obs_stereo),
-            obs_valid=jnp.asarray(obs_valid),
-        )
-        res = local_ba.local_bundle_adjustment(
-            prob, jnp.int32(0), self.cam
-        )
+        with self._stage("map.ba_upload"):
+            prob = local_ba.BAProblem(
+                kf_pose=jnp.asarray(poses),
+                kf_fixed=jnp.asarray(fixed),
+                kf_valid=jnp.asarray(valid_kf),
+                pt_pos=jnp.asarray(pts),
+                pt_valid=jnp.asarray(valid_pt),
+                obs_kf=jnp.asarray(obs_kf),
+                obs_pt=jnp.asarray(obs_pt),
+                obs_uvr=jnp.asarray(obs_uvr),
+                obs_sigma2=jnp.asarray(obs_sigma2),
+                obs_is_stereo=jnp.asarray(obs_stereo),
+                obs_valid=jnp.asarray(obs_valid),
+            )
+        if not hasattr(self, "_zero_dev"):
+            self._zero_dev = jnp.int32(0)
+        with self._stage("map.ba_solve_call"):
+            res = local_ba.local_bundle_adjustment(
+                prob, self._zero_dev, self.cam
+            )
         from sivo_tpu.utils.fetch import fetch_packed_async
 
-        future = fetch_packed_async(
-            {
-                "kf_pose": res.kf_pose,
-                "pt_pos": res.pt_pos,
-                "inlier": res.obs_inlier,
-                "cov": res.newest_cov,
-            }
-        )
+        with self._stage("map.ba_fetch_start"):
+            future = fetch_packed_async(
+                {
+                    "kf_pose": res.kf_pose,
+                    "pt_pos": res.pt_pos,
+                    "inlier": res.obs_inlier,
+                    "cov": res.newest_cov,
+                }
+            )
         return {
             "kf": kf_idx,
             "kfs": kfs,

@@ -60,6 +60,7 @@ class System:
             cfg=self.cfg, map=self.map, cam=self.tracker.cam,
             timer=self.timer,
         )
+        self.tracker.mapper = self.mapper  # KF-decision backpressure
         self.loop_closer = None
         if self.vocabulary is not None:
             from sivo_tpu.runtime.loopclosing import LoopCloser
@@ -73,6 +74,19 @@ class System:
             self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
         self._rng = jax.random.key(42)
         self._frame_no = 0
+
+    def attach_vocabulary(self, voc) -> None:
+        """Enable loop closing + relocalization with a vocabulary built
+        after construction (e.g. trained on this session's own
+        descriptors — the reference instead loads a pre-trained file,
+        System.cc:75-82)."""
+        from sivo_tpu.runtime.loopclosing import LoopCloser
+
+        self.vocabulary = voc
+        self.loop_closer = LoopCloser(
+            cfg=self.cfg, map=self.map, cam=self.tracker.cam, voc=voc,
+        )
+        self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
 
     # -- per-frame API --------------------------------------------------------
 
@@ -224,7 +238,7 @@ class System:
             d = self.map.kf_data[cand]
             pts = lc._kf_point_ids(cand)
             m = match_mod.search_brute_force(
-                lc._kf_bits(cand),
+                lc._kf_bits(cand, self.tracker),
                 jnp.asarray(pts >= 0),
                 jnp.asarray(d.angle),
                 f.desc_bits, f.semantic, f.angle,
@@ -307,6 +321,7 @@ class System:
             cfg=self.cfg, map=self.map, cam=self.tracker.cam,
             timer=self.timer,
         )
+        self.tracker.mapper = self.mapper
         if self.loop_closer is not None:
             from sivo_tpu.runtime.loopclosing import LoopCloser
 

@@ -168,7 +168,9 @@ def _optimize(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "scale_factor", "n_levels"),
+    static_argnames=(
+        "cam", "scale_factor", "n_levels", "sequential_sel"
+    ),
     donate_argnums=(1,),
 )
 def track_step(
@@ -185,6 +187,7 @@ def track_step(
     n_levels: int = 8,
     motion_th: float = 7.0,
     max_accel: float = 0.5,
+    sequential_sel: bool = True,
 ) -> StepResult:
     """Full per-frame numeric tracking (see module docstring).
 
@@ -373,16 +376,29 @@ def track_step(
     # with distance travelled from the origin and creation starves on
     # any long path; the camera-frame position is the physically
     # correct (translation-invariant) evaluation point.
-    scores = info_ops.entropy_reduction_stereo(
-        cov_final, xc_kp, sigma2, frame.sem_entropy,
-        cam.fx, cam.fy, cam.bf / cam.fx,
-    )
-    sel_mask = (
-        frame.semantic
-        & (frame.depth > 0)
-        & (scores > th_entropy)
-        & (pt_idx_f < 0)
-    )
+    candidate = frame.semantic & (frame.depth > 0) & (pt_idx_f < 0)
+    if sequential_sel:
+        # paper semantics: greedy selection, covariance shrinks after
+        # every accepted feature so selection self-limits.
+        # Prior-scale divergence: the post-LM marginal (cov_final,
+        # what the reference scores against) is already collapsed by
+        # this frame's ~50 inliers — ONE sequential update drives MI
+        # below any threshold and creation starves (measured: 5 pts/KF,
+        # tracking lost). The motion-PROPAGATED covariance (process
+        # noise 0.01·I per frame, sivo_helpers.cpp:242-266) is the
+        # uncertainty the new keyframe's features must resolve, and
+        # self-limits at a useful budget (~tens of points/KF).
+        sel_mask, _ = info_ops.sequential_selection_stereo(
+            cov_pred, xc_kp, sigma2, frame.sem_entropy, candidate,
+            th_entropy, cam.fx, cam.fy, cam.bf / cam.fx,
+        )
+    else:
+        # reference-binary semantics: static covariance for every score
+        scores = info_ops.entropy_reduction_stereo(
+            cov_final, xc_kp, sigma2, frame.sem_entropy,
+            cam.fx, cam.fy, cam.bf / cam.fx,
+        )
+        sel_mask = candidate & (scores > th_entropy)
 
     # ---- velocity + next carry (Tracking.cc:352-360) ----------------------
     velocity = hmat(T_final, se3.inverse(carry.pose))

@@ -53,13 +53,15 @@ def make_camera(cfg: SystemConfig) -> CameraParams:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "scale_factor", "init_cov")
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "init_cov", "sequential_sel"),
 )
 def _init_selection(
     frame: Frame,
     cam: CameraParams,
     scale_factor: float,
     init_cov: float = 1e-6,
+    sequential_sel: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Initialization-time entropy selection at the identity pose with
     the configured initial covariance and gate 0 bits
@@ -68,11 +70,18 @@ def _init_selection(
     xc = unproject_stereo(cam, frame.xy, frame.depth)
     xw = xc  # pose = identity
     sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
-    scores = info_ops.entropy_reduction_stereo(
-        cov, xw, sigma2, frame.sem_entropy,
-        cam.fx, cam.fy, cam.bf / cam.fx,
-    )
-    sel = frame.semantic & (frame.depth > 0) & (scores > 0.0)
+    candidate = frame.semantic & (frame.depth > 0)
+    if sequential_sel:
+        sel, _ = info_ops.sequential_selection_stereo(
+            cov, xc, sigma2, frame.sem_entropy, candidate,
+            jnp.float32(0.0), cam.fx, cam.fy, cam.bf / cam.fx,
+        )
+    else:
+        scores = info_ops.entropy_reduction_stereo(
+            cov, xw, sigma2, frame.sem_entropy,
+            cam.fx, cam.fy, cam.bf / cam.fx,
+        )
+        sel = candidate & (scores > 0.0)
     return sel, xw, jnp.sum(frame.semantic)
 
 
@@ -122,6 +131,13 @@ class Tracker:
         n = self.cfg.orb.max_keypoints
         self.carry: Optional[ts.TrackCarry] = None
         self.dmap = device_map.make_device_map(self.map.max_points)
+        # device-resident keyframe arrays: written once at insertion,
+        # gathered by the mapping/loop pipelines (never re-uploaded)
+        from sivo_tpu.runtime import kf_store as kfs_mod
+
+        self.kf_store = kfs_mod.make_kf_store(
+            self.map.max_keyframes, n
+        )
         # device-resident reference-KF data for the fallback path
         self._ref_desc_bits = jnp.zeros((n, 256), jnp.float32)
         self._ref_angle = jnp.zeros(n, jnp.float32)
@@ -130,6 +146,10 @@ class Tracker:
         self.last_cov = np.eye(6, dtype=np.float32) * 1e-6
         self._inflight: Optional[Ticket] = None
         self.kf_created: Optional[int] = None  # set by retire()
+        # keyframes whose host bookkeeping fetch is still in flight
+        self._kf_host_pending: dict[int, tuple] = {}
+        # set by System: the mapper, for keyframe-decision backpressure
+        self.mapper = None
         # per-run constant device scalars (every upload pays relay RTT)
         self._th_entropy_dev = jnp.float32(
             self.cfg.semantic.th_entropy_reduction
@@ -180,6 +200,7 @@ class Tracker:
             self.cfg.orb.n_levels,
             float(self.cfg.tracking.motion_search_th),
             float(self.cfg.tracking.max_accel_m),
+            bool(self.cfg.semantic.sequential_selection),
         )
         self.dmap = result.dmap
         self.carry = result.carry
@@ -270,6 +291,10 @@ class Tracker:
                 ticket.frame, ticket.result, timestamp, fid
             )
             self.kf_created = self.last_kf_id
+            if self.mapper is None:
+                # standalone tracker (no mapping pipeline to admit the
+                # keyframe): complete host bookkeeping now
+                self.finish_kf_host(self.last_kf_id)
         self.trajectory.append(
             FrameRecord(
                 pose=pose,
@@ -290,6 +315,7 @@ class Tracker:
         sel, xw, n_sem = _init_selection(
             frame, self.cam, self.cfg.orb.scale_factor,
             self.cfg.tracking.init_covariance,
+            bool(self.cfg.semantic.sequential_selection),
         )
         if int(jax.device_get(n_sem)) <= (
             self.cfg.tracking.min_init_keypoints
@@ -315,6 +341,8 @@ class Tracker:
             frame, sel, xw, jnp.full(n, -1, jnp.int32), timestamp, fid,
             pose, cov,
         )
+        if self.mapper is None:
+            self.finish_kf_host(self.last_kf_id)
         self.state = TrackingState.OK
         self.trajectory.append(
             FrameRecord(
@@ -355,8 +383,14 @@ class Tracker:
         max_frames = int(self.cfg.camera.fps)
         # ref: Tracking.cc:877-881 — 0.25 below 2 KFs
         th_ref = cfg.th_ref_ratio if self.map.n_keyframes >= 2 else 0.25
+        mapper_idle = self.mapper is None or not self.mapper.busy
+        queue_len = 0 if self.mapper is None else self.mapper.queue_len
         c1a = fid >= self.last_kf_frame_id + max_frames
-        c1b = fid >= self.last_kf_frame_id + cfg.min_frames_between_kf
+        # ref: Tracking.cc:888-889 — c1b requires an idle mapper
+        c1b = (
+            fid >= self.last_kf_frame_id + cfg.min_frames_between_kf
+            and mapper_idle
+        )
         c1c = n_tracked < n_ref * 0.25 or need_close
         c2 = (n_tracked < n_ref * th_ref or need_close) and n_tracked > 15
         # cadence guarantee beyond the reference: when the close-point
@@ -366,7 +400,25 @@ class Tracker:
         # In the reference's sparse-map regime c2 fires first, so this
         # clause is inert there.
         c_cadence = c1a and n_tracked > 15
-        return bool(((c1a or c1b or c1c) and c2) or c_cadence)
+        decision = bool(((c1a or c1b or c1c) and c2) or c_cadence)
+        # backpressure (ref: Tracking.cc:901-916): a busy mapper admits
+        # a keyframe only while its queue is short — this is what
+        # throttles the reference's close-starved regime (the SIVO 30/70
+        # rule otherwise requests a keyframe EVERY frame and mapping
+        # becomes frame-rate work)
+        if decision and not mapper_idle:
+            decision = queue_len < 3
+        import os
+        if os.environ.get("SIVO_DEBUG_KF"):
+            print(
+                f"    [kf? f={fid}] tracked={n_tracked:.0f} "
+                f"ref={n_ref:.0f} close_t={summary[ts.S_N_CLOSE_TRACKED]:.0f} "
+                f"close_f={summary[ts.S_N_CLOSE_FREE]:.0f} "
+                f"need_close={need_close} c1a={c1a} c1b={c1b} "
+                f"c1c={c1c} c2={c2} cad={c_cadence} q={queue_len} "
+                f"idle={mapper_idle} -> {decision}"
+            )
+        return decision
 
     def _create_new_keyframe(
         self,
@@ -416,11 +468,26 @@ class Tracker:
         combined_idx = jnp.where(new_ids >= 0, new_ids, pt_idx)
         self._kf_new_pt_idx = combined_idx
 
-        # host bookkeeping: ONE packed transfer (per-buffer fetches
-        # cost ~100ms each through the relay)
-        from sivo_tpu.utils.fetch import fetch_packed
+        # device keyframe store write (slot known before host add)
+        from sivo_tpu.runtime import kf_store as kfs_mod
 
-        host = fetch_packed(
+        kf_slot = self.map.n_keyframes
+        self.kf_store = kfs_mod.insert(
+            self.kf_store,
+            jnp.int32(kf_slot),
+            frame.xy, frame.level, frame.desc_u8, frame.u_right,
+            frame.semantic, frame.sem_class, frame.sem_confidence,
+            frame.sem_entropy,
+        )
+
+        # host bookkeeping: ONE packed ASYNC transfer (per-buffer
+        # fetches cost ~100ms each through the relay; the blocking
+        # wait happens in finish_kf_host when the mapper admits the
+        # keyframe, by which point the copy has ridden under 1-2
+        # frames of tracking)
+        from sivo_tpu.utils.fetch import fetch_packed_async
+
+        host_future = fetch_packed_async(
             {
                 "xy": frame.xy,
                 "level": frame.level,
@@ -435,9 +502,30 @@ class Tracker:
                 "pt_idx": combined_idx,
                 "new_ids": new_ids,
                 "xw": xw,
-                "sel": sel_mask,
             }
         )
+        kf_idx = self.map.add_keyframe(pose, cov, None)
+        assert kf_idx == kf_slot
+        self._kf_host_pending[kf_idx] = (
+            host_future, fid, timestamp, pose.copy(),
+        )
+        self.last_kf_id = kf_idx
+        self.last_kf_frame_id = fid
+        # refresh the device-side reference-KF arrays
+        self._ref_desc_bits = frame.desc_bits
+        self._ref_angle = frame.angle
+        self._ref_pt_idx = combined_idx
+
+    def finish_kf_host(self, kf_idx: int) -> None:
+        """Complete a keyframe's host bookkeeping from the async fetch:
+        keypoint snapshot (ref: KeyFrame ctor, KeyFrame.cc:31-103),
+        point mirroring, observations, spanning tree. Called by the
+        mapper at admission (the fetch has typically landed by then)."""
+        pending = self._kf_host_pending.pop(kf_idx, None)
+        if pending is None:
+            return
+        host_future, fid, timestamp, pose = pending
+        host = host_future.result()
         data = KeyFrameData(
             frame_id=fid,
             timestamp=timestamp,
@@ -453,10 +541,9 @@ class Tracker:
             sem_entropy=np.asarray(host["sem_entropy"]),
             semantic=np.asarray(host["semantic"]),
         )
-        kf_idx = self.map.add_keyframe(pose, cov, data)
+        self.map.kf_data[kf_idx] = data
         pt_ids_np = np.asarray(host["pt_idx"]).astype(np.int64)
         new_ids_np = np.asarray(host["new_ids"]).astype(np.int64)
-        sel_np = np.asarray(host["sel"])
         # mirror new points into the host store
         kp_new = np.where(new_ids_np >= 0)[0]
         if len(kp_new):
@@ -477,9 +564,3 @@ class Tracker:
                 kf_idx, pt_ids_np[kp_obs], kp_obs
             )
         self.map.update_spanning_tree(kf_idx)
-        self.last_kf_id = kf_idx
-        self.last_kf_frame_id = fid
-        # refresh the device-side reference-KF arrays
-        self._ref_desc_bits = frame.desc_bits
-        self._ref_angle = frame.angle
-        self._ref_pt_idx = combined_idx

@@ -14,12 +14,19 @@ reference's Jacobian column layout (ref: sivo_helpers.cpp:43-88).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sivo_tpu.geometry import se3
 from sivo_tpu.utils.precision import hmat
 
 _LOG2E = 1.4426950408889634  # log2(e)
+
+# sequential-selection candidate cap: the greedy scan walks at most
+# this many statically-eligible keypoints (index order). Real frames
+# offer a few hundred untracked semantic stereo candidates; the scan's
+# per-step overhead makes a full 2048-slot walk ~10x the useful work.
+SEL_CAP = 512
 
 
 def mono_jacobian_pose(
@@ -188,6 +195,112 @@ def kalman_update_stereo(
     K = hmat(hmat(prev_cov, jnp.swapaxes(jac, -1, -2)), jnp.linalg.inv(S))
     eye = jnp.eye(6, dtype=prev_cov.dtype)
     return hmat(eye - hmat(K, jac), prev_cov)
+
+
+def sequential_selection_stereo(
+    state_cov: jnp.ndarray,
+    points: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    classification_entropy: jnp.ndarray,
+    candidate: jnp.ndarray,
+    th: jnp.ndarray,
+    fx: float,
+    fy: float,
+    baseline: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy SEQUENTIAL SIVO selection: walk candidates in keypoint
+    index order (the reference's loop order, Tracking.cc:935-1025) and,
+    after each accepted feature, shrink the pose covariance with the
+    covariance-only Kalman update so subsequent MI scores fall and the
+    selection self-limits — the SIVO paper's core mechanism
+    (arXiv 1811.11946 §III-B).
+
+    Faithfulness note: the reference IMPLEMENTS this update
+    (sivo_helpers.cpp:221-240 updateStateCovarianceStereo) but never
+    calls it — CreateNewKeyFrame (Tracking.cc:921-1031) and
+    CheckSemantics (LocalMapping.cc:474-545) score every candidate
+    against the same static covariance, so the shipped binary
+    over-selects relative to the paper. This function restores the
+    paper semantics; ``SemanticConfig.sequential_selection`` switches
+    between the two (False = reference-binary-exact batch scoring).
+
+    Args:
+      state_cov: (6, 6) pose covariance at selection start.
+      points: (N, 3) candidate positions (camera frame — see
+        ``entropy_reduction_stereo``).
+      sigma2: (N,) per-keypoint noise scale.
+      classification_entropy: (N,) per-pixel entropy in bits.
+      candidate: (N,) bool — statically-eligible keypoints
+        (semantic & depth > 0 & untracked).
+      th: () entropy-reduction gate in bits.
+
+    Returns: (selected (N,) bool, final (6, 6) covariance).
+    """
+    n = points.shape[0]
+    # compact candidates into SEL_CAP slots preserving keypoint index
+    # order (the reference's loop order): a full-length scan costs
+    # n x per-step overhead on TPU; candidates are a minority of slots
+    cap = min(SEL_CAP, n)
+    order = jnp.where(candidate, jnp.arange(n), n)
+    comp = jnp.sort(order)[:cap]  # candidate indices, index order
+    live = comp < n
+    comp_c = jnp.clip(comp, 0, n - 1)
+
+    jac = stereo_jacobian_pose(
+        fx, fy, baseline, points[comp_c]
+    )  # (cap, 3, 6)
+    sig = sigma2[comp_c]
+    ent = classification_entropy[comp_c]
+    ld_R = 3.0 * jnp.log(sig)  # log det(sigma2 * I3)
+
+    def _det3(S):
+        return (
+            S[0, 0] * (S[1, 1] * S[2, 2] - S[1, 2] * S[2, 1])
+            - S[0, 1] * (S[1, 0] * S[2, 2] - S[1, 2] * S[2, 0])
+            + S[0, 2] * (S[1, 0] * S[2, 1] - S[1, 1] * S[2, 0])
+        )
+
+    def _inv3(S, det):
+        adj = jnp.stack([
+            jnp.stack([
+                S[1, 1] * S[2, 2] - S[1, 2] * S[2, 1],
+                S[0, 2] * S[2, 1] - S[0, 1] * S[2, 2],
+                S[0, 1] * S[1, 2] - S[0, 2] * S[1, 1],
+            ]),
+            jnp.stack([
+                S[1, 2] * S[2, 0] - S[1, 0] * S[2, 2],
+                S[0, 0] * S[2, 2] - S[0, 2] * S[2, 0],
+                S[0, 2] * S[1, 0] - S[0, 0] * S[1, 2],
+            ]),
+            jnp.stack([
+                S[1, 0] * S[2, 1] - S[1, 1] * S[2, 0],
+                S[0, 1] * S[2, 0] - S[0, 0] * S[2, 1],
+                S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0],
+            ]),
+        ])
+        return adj / det
+
+    def step(cov, inp):
+        J, s2, ldR, H, ok = inp
+        R = s2 * jnp.eye(3, dtype=cov.dtype)
+        S = hmat(hmat(J, cov), J.T) + R  # innovation (3, 3)
+        det = _det3(S)
+        mi = 0.5 * (jnp.log(jnp.maximum(det, 1e-30)) - ldR) * _LOG2E
+        accept = ok & (mi - H > th)
+        K = hmat(hmat(cov, J.T), _inv3(S, det))
+        eye = jnp.eye(6, dtype=cov.dtype)
+        cov_upd = hmat(eye - hmat(K, J), cov)
+        # symmetrize: float32 Joseph-less form drifts off-symmetric
+        cov_upd = 0.5 * (cov_upd + cov_upd.T)
+        return jnp.where(accept, cov_upd, cov), accept
+
+    cov_f, sel_c = jax.lax.scan(
+        step, state_cov, (jac, sig, ld_R, ent, live), unroll=8
+    )
+    sel = jnp.zeros(n + 1, bool).at[jnp.where(sel_c, comp, n)].set(
+        True, mode="drop"
+    )[:n]
+    return sel, cov_f
 
 
 def propagate_covariance_motion(

@@ -111,8 +111,10 @@ def _executor():
     if _EXECUTOR is None:
         from concurrent.futures import ThreadPoolExecutor
 
+        # 4 workers: two big keyframe-rate fetches (phase1 + BA) must
+        # never head-of-line-block the ~256-byte per-frame summary
         _EXECUTOR = ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="sivo-fetch"
+            max_workers=4, thread_name_prefix="sivo-fetch"
         )
     return _EXECUTOR
 

@@ -172,3 +172,67 @@ def test_entropy_reduction_batched():
         / np.linalg.det(joint)
     )
     np.testing.assert_allclose(float(scores[7]), mi - ent[7], rtol=2e-2)
+
+
+def _oracle_sequential(S0, pts, sigma2, ent, cand, th):
+    """Float64 oracle: the reference's CreateNewKeyFrame loop
+    (Tracking.cc:921-1031) with the paper's Kalman shrink
+    (sivo_helpers.cpp:221-240) applied after every accepted feature."""
+    S = S0.astype(np.float64).copy()
+    sel = np.zeros(len(pts), bool)
+    for i in range(len(pts)):
+        if not cand[i]:
+            continue
+        J = ref_stereo_jacobian(FX, FY, B, *pts[i])
+        R = sigma2[i] * np.eye(3)
+        innov = J @ S @ J.T + R
+        mi = 0.5 * np.log2(np.linalg.det(innov) / np.linalg.det(R))
+        if mi - ent[i] > th:
+            sel[i] = True
+            K = S @ J.T @ np.linalg.inv(innov)
+            S = (np.eye(6) - K @ J) @ S
+            S = 0.5 * (S + S.T)
+    return sel, S
+
+
+def test_sequential_selection_matches_oracle():
+    n = 96
+    rng = np.random.default_rng(11)
+    pts = rng.uniform([-10, -5, 4], [10, 5, 40], size=(n, 3))
+    sigma2 = 1.2 ** (2.0 * rng.integers(0, 8, size=n))
+    ent = rng.uniform(0.0, 2.0, size=n)
+    cand = rng.random(n) < 0.8
+    S0 = np.eye(6) * 0.05
+    th = 0.5
+    sel_ref, S_ref = _oracle_sequential(S0, pts, sigma2, ent, cand, th)
+    # the oracle must be self-limiting: late candidates rejected that
+    # an unshrunk covariance would accept
+    batch_sel = np.zeros(n, bool)
+    for i in range(n):
+        if not cand[i]:
+            continue
+        J = ref_stereo_jacobian(FX, FY, B, *pts[i])
+        R = sigma2[i] * np.eye(3)
+        innov = J @ S0 @ J.T + R
+        mi = 0.5 * np.log2(np.linalg.det(innov) / np.linalg.det(R))
+        batch_sel[i] = mi - ent[i] > th
+    assert sel_ref.sum() < batch_sel.sum()
+
+    sel, S_f = info.sequential_selection_stereo(
+        jnp.asarray(S0, jnp.float32),
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(sigma2, jnp.float32),
+        jnp.asarray(ent, jnp.float32),
+        jnp.asarray(cand),
+        jnp.float32(th),
+        FX, FY, B,
+    )
+    sel = np.asarray(sel)
+    # float32 vs float64 can flip knife-edge candidates; demand > 95%
+    # agreement and matching totals within 2
+    agree = (sel == sel_ref).mean()
+    assert agree > 0.95, (agree, sel.sum(), sel_ref.sum())
+    assert abs(int(sel.sum()) - int(sel_ref.sum())) <= 2
+    np.testing.assert_allclose(
+        np.asarray(S_f), S_ref, rtol=0.15, atol=1e-6
+    )

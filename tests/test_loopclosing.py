@@ -124,6 +124,33 @@ def loop_setup():
             data.sem_class[kp_idx], kf, kp_idx,
             data.level[kp_idx],
         )
+        # maintain the device mirrors the runtime keeps in lockstep
+        # (SearchAndFuse gathers point data from the device map and
+        # keyframe arrays from the device store)
+        from sivo_tpu.runtime import kf_store as kfs_mod
+
+        tracker.kf_store = kfs_mod.insert(
+            tracker.kf_store, jnp.int32(kf),
+            jnp.asarray(data.xy), jnp.asarray(data.level),
+            jnp.asarray(data.desc_u8), jnp.asarray(data.u_right),
+            jnp.asarray(data.semantic), jnp.asarray(data.sem_class),
+            jnp.asarray(data.sem_confidence),
+            jnp.asarray(data.sem_entropy),
+        )
+        nkp_cap = 1024
+        sel_full = np.zeros(nkp_cap, bool)
+        sel_full[kp_idx] = True
+        xw_full = np.zeros((nkp_cap, 3), np.float32)
+        xw_full[kp_idx] = pw.astype(np.float32)
+        cam_center = (-T[:3, :3].T @ T[:3, 3]).astype(np.float32)
+        tracker.dmap, dev_ids = device_map.add_points(
+            tracker.dmap, jnp.asarray(sel_full), jnp.asarray(xw_full),
+            jnp.asarray(data.desc_u8), jnp.asarray(data.sem_class),
+            jnp.asarray(data.level), jnp.asarray(cam_center),
+            cfg.orb.scale_factor, cfg.orb.n_levels,
+        )
+        got = np.asarray(jax.device_get(dev_ids))[kp_idx]
+        np.testing.assert_array_equal(got, ids)  # ids in lockstep
         # covisibility: each KF also observes some of the previous
         # KF's points (as real tracking would). The observations must
         # be geometrically consistent with the (drifted) poses — the

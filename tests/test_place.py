@@ -159,3 +159,52 @@ def test_ransac_pnp_recovers_pose_with_outliers():
     inl = np.asarray(res.inliers)
     assert inl[:n_out].mean() < 0.1  # outliers rejected
     assert inl[n_out:].mean() > 0.8
+
+
+def _pnp_scene(rng, n_good, n=256):
+    """n correspondences of which n_good are consistent with a pose
+    (the rest uniform-random pixels)."""
+    pw = np.stack(
+        [
+            rng.uniform(-10, 10, n),
+            rng.uniform(-4, 4, n),
+            rng.uniform(5, 40, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    xi = np.array([0.3, -0.1, 0.5, 0.02, -0.05, 0.01], np.float32)
+    T_true = np.asarray(se3.exp(jnp.asarray(xi)))
+    pc = pw @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.array(project(CAM, jnp.asarray(pc)))
+    uv += rng.normal(0, 0.3, uv.shape)
+    uv[n_good:] = rng.uniform(
+        [0, 0], [CAM.width, CAM.height], (n - n_good, 2)
+    )
+    return pw, uv.astype(np.float32)
+
+
+def test_ransac_pnp_accept_reject_thresholds():
+    """The reference accepts a hypothesis only at >= 10 chi2 inliers
+    (RANSAC minInliers, ref: Tracking.cc:1281, PnPsolver.cc:131-270);
+    below that the solver must report failure rather than a garbage
+    pose."""
+    rng = np.random.default_rng(9)
+    # 8 consistent points: below the reference's minInliers=10
+    pw, uv = _pnp_scene(rng, n_good=8)
+    res = pnp.ransac_pnp(
+        jnp.asarray(pw), jnp.asarray(uv),
+        jnp.ones(len(pw), jnp.float32), jnp.ones(len(pw), bool),
+        jax.random.key(1), CAM,
+    )
+    assert not bool(res.ok), int(res.n_inliers)
+
+    # a realistic reloc candidate: ~40% inliers (the reference's
+    # RANSAC epsilon default is 0.5, Tracking.cc:1281) — accepted
+    pw, uv = _pnp_scene(rng, n_good=40, n=96)
+    res = pnp.ransac_pnp(
+        jnp.asarray(pw), jnp.asarray(uv),
+        jnp.ones(len(pw), jnp.float32), jnp.ones(len(pw), bool),
+        jax.random.key(2), CAM, n_hypotheses=1024,
+    )
+    assert bool(res.ok)
+    assert int(res.n_inliers) >= 10

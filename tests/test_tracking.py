@@ -98,7 +98,10 @@ def test_keyframes_and_points_created(vo_run):
     # healthy window at least the init KF + its entropy-gated points
     # must exist (KF cadence is exercised at KITTI geometry in bench.py)
     assert tracker.map.n_keyframes >= 1
-    assert tracker.map.n_points > 200
+    # sequential (paper-semantics) selection self-limits: the Kalman
+    # shrink after each accepted feature drops later MI scores, so the
+    # map is deliberately sparser than batch scoring would produce
+    assert tracker.map.n_points > 100
     # all created points are static-class
     live = tracker.map.pt_valid[: tracker.map.n_points]
     cls = tracker.map.pt_class[: tracker.map.n_points][live]
