@@ -152,10 +152,9 @@ def main() -> None:
     gt = np.concatenate([fwd, fwd[::-1][1:]])
     n_frames = len(gt)
     left, right, clsmaps = synthetic.render_sequence(world, gt)
-    # uint8 uploads: the host->device link is the bottleneck
-    left_color = np.repeat(
-        left[:, :, :, None], 3, axis=-1
-    ).astype(np.uint8)
+    # uint8 grayscale uploads (channel broadcast happens on device):
+    # the host->device link is the bottleneck
+    left_color = left.astype(np.uint8)
     right = right.astype(np.uint8)
     # no trained CNN weights exist in this environment (Git-LFS stubs,
     # BASELINE.md) — the CNN runs at full cost every frame, but the

@@ -25,12 +25,20 @@ import numpy as np
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     no_semantics = "--no-semantics" in argv
+    save_frames = None
+    if "--save-frames" in argv:
+        # offline viewer (ref: Viewer.cc/FrameDrawer.cc live windows):
+        # per-frame tracked-keypoint overlays + a final top-down map
+        # render, written as a PNG series
+        j = argv.index("--save-frames")
+        save_frames = argv[j + 1]
+        argv = argv[:j] + argv[j + 2 :]
     argv = [a for a in argv if not a.startswith("--")]
     if len(argv) < 5:
         print(
             "usage: python -m sivo_tpu.cli path_to_vocabulary "
             "path_to_settings path_to_prototxt path_to_caffemodel "
-            "path_to_sequence [--no-semantics]",
+            "path_to_sequence [--no-semantics] [--save-frames DIR]",
             file=sys.stderr,
         )
         return 1
@@ -128,15 +136,53 @@ def main(argv: list[str] | None = None) -> int:
             sem_override=sem_override,
         )
 
+    if save_frames:
+        import os
+
+        os.makedirs(save_frames, exist_ok=True)
+
     track_times = []
     for i in range(len(seq)):
         build(i)
         f = built.pop(i)
         build(i + 1)  # prefetch next frame's frontend
         t1 = time.time()
-        system.track_frame(f, float(seq.timestamps[i]), pipeline=True)
+        system.track_frame(
+            f, float(seq.timestamps[i]), pipeline=not save_frames
+        )
         dt = time.time() - t1
         track_times.append(dt)
+        if save_frames:
+            import cv2
+
+            from sivo_tpu.utils.fetch import fetch_packed
+            from sivo_tpu.viz import replay
+
+            h = fetch_packed(
+                {
+                    "cls": f.classes_raster,
+                    "xy": f.xy,
+                    "valid": f.valid,
+                    "tracked": system.tracker.carry.pt_idx >= 0,
+                }
+            )
+            gray, _ = read_crop(i)
+            img = replay.draw_frame(
+                gray.astype(np.float32)
+                if gray.ndim == 2
+                else gray.mean(-1),
+                np.asarray(h["cls"]),
+                np.asarray(h["xy"]),
+                np.asarray(h["tracked"]),
+                np.asarray(h["valid"]),
+                status=(
+                    f"frame {i}  KFs {system.map.n_keyframes}  "
+                    f"state {system.state.name}"
+                ),
+            )
+            cv2.imwrite(
+                f"{save_frames}/frame_{i:06d}.png", img
+            )
         # pace to the dataset timestamps (ref: sivo.cc:115-123)
         if i + 1 < len(seq):
             wait = float(seq.timestamps[i + 1] - seq.timestamps[i]) - dt
@@ -145,6 +191,11 @@ def main(argv: list[str] | None = None) -> int:
 
     system.shutdown("keyframes_points.txt")
     system.save_trajectory_kitti("CameraTrajectory.txt")
+    if save_frames:
+        from sivo_tpu.viz import replay
+
+        replay.render_session(system, save_frames)
+        print(f"Frame overlays + map render written to {save_frames}/")
     tt = np.sort(track_times)
     print(
         "-------\n"

@@ -77,6 +77,12 @@ class SemanticConfig:
     # implemented but never called (see select/info.py::
     # sequential_selection_stereo for the verification).
     sequential_selection: bool = True
+    # floor for sequential mode: accept positive-information candidates
+    # until this many are taken, then the Kalman-shrunk threshold
+    # self-limits (pure greedy collapses to ~5-10 features — the
+    # information-theoretic minimum — which real matching attrition
+    # cannot survive)
+    seq_min_select: int = 32
 
 
 @dataclass(frozen=True)

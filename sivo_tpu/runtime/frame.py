@@ -125,8 +125,14 @@ def build_frame(
     exist; the select is data-dependent so XLA cannot DCE the network).
     """
     # accept uint8 uploads (4x less host->device traffic; the link is
-    # the bottleneck) and promote on device
+    # the bottleneck) and promote on device; a (H, W) left image is
+    # broadcast to 3 channels on device (KITTI grayscale cameras —
+    # same CNN compute, a third of the upload bytes)
     img_left_color = img_left_color.astype(jnp.float32)
+    if img_left_color.ndim == 2:
+        img_left_color = jnp.repeat(
+            img_left_color[:, :, None], 3, axis=-1
+        )
     img_right_gray = img_right_gray.astype(jnp.float32)
     # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
     classes, confidence, entropy = segnet_mod.segment_image(

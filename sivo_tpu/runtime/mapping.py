@@ -71,6 +71,13 @@ def _fuse_program_impl(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _cull_window_program(found, visible, valid, lo, window: int):
+    """Slice the recent-point counter window in one dispatch."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, window)
+    return sl(found), sl(visible), sl(valid)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
 )
@@ -576,13 +583,27 @@ class LocalMapper:
 
     # -- point culling ------------------------------------------------------
 
+    CULL_WINDOW = 8192  # recent-point id window fetched per keyframe
+
     def _cull_dispatch(self, tracker, outs: dict):
-        """MapPointCulling device phase: the counters to fetch."""
-        outs["cull_found"] = tracker.dmap.pt_found
-        outs["cull_visible"] = tracker.dmap.pt_visible
-        outs["cull_obs"] = tracker.dmap.pt_obs_count
-        outs["cull_valid"] = tracker.dmap.pt_valid
-        return {}
+        """MapPointCulling device phase: the counters to fetch.
+
+        Culling only examines RECENT points (age <= 3 keyframes,
+        see _cull_apply) and point ids are assigned in creation order,
+        so the candidates live in a contiguous id range ending at
+        n_points — fetch one fixed window instead of the full
+        131k-point counter arrays (the full fetch was ~2 MB/keyframe
+        through the relay)."""
+        lo = max(0, self.map.n_points - self.CULL_WINDOW)
+        dm = tracker.dmap
+        f, v, ok = _cull_window_program(
+            dm.pt_found, dm.pt_visible, dm.pt_valid,
+            jnp.int32(lo), self.CULL_WINDOW,
+        )
+        outs["cull_found"] = f
+        outs["cull_visible"] = v
+        outs["cull_valid"] = ok
+        return {"lo": lo}
 
     def _cull_apply(
         self, tracker, kf_idx: int, ctx: dict, fetched: dict
@@ -600,15 +621,19 @@ class LocalMapper:
         observations and fusion — the reference's Observations() does
         too."""
         m = self.map
-        n = m.n_points
-        found = np.asarray(fetched["cull_found"])[:n].astype(np.float32)
+        lo = ctx["lo"]
+        n = min(m.n_points, lo + self.CULL_WINDOW)
+        w = n - lo
+        if w <= 0:
+            return
+        found = np.asarray(fetched["cull_found"])[:w].astype(np.float32)
         visible = np.maximum(
-            np.asarray(fetched["cull_visible"])[:n].astype(np.float32),
+            np.asarray(fetched["cull_visible"])[:w].astype(np.float32),
             1.0,
         )
-        obs = m.point_obs_counts()[:n]
-        valid = np.asarray(fetched["cull_valid"])[:n]
-        first = m.pt_first_kf[:n]
+        obs = m.point_obs_counts()[lo:n]
+        valid = np.asarray(fetched["cull_valid"])[:w]
+        first = m.pt_first_kf[lo:n]
         age = kf_idx - first  # in keyframes
         in_list = (first < kf_idx) & (age <= 3)
         ratio_bad = (found / visible) < self.cfg.mapping.found_ratio_min
@@ -623,7 +648,7 @@ class LocalMapper:
         # re-observed at least once after creation.
         obs_bad = (age >= 2) & (obs < self.cfg.mapping.min_obs_stereo)
         kill = valid & in_list & (ratio_bad | obs_bad)
-        kill_ids = np.where(kill)[0]
+        kill_ids = np.where(kill)[0] + lo
         import os
         if os.environ.get("SIVO_DEBUG_CULL"):
             print(f"    [cull kf={kf_idx}] kills={len(kill_ids)} "

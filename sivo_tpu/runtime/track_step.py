@@ -169,7 +169,8 @@ def _optimize(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cam", "scale_factor", "n_levels", "sequential_sel"
+        "cam", "scale_factor", "n_levels", "sequential_sel",
+        "seq_min_select",
     ),
     donate_argnums=(1,),
 )
@@ -188,6 +189,7 @@ def track_step(
     motion_th: float = 7.0,
     max_accel: float = 0.5,
     sequential_sel: bool = True,
+    seq_min_select: int = 32,
 ) -> StepResult:
     """Full per-frame numeric tracking (see module docstring).
 
@@ -391,6 +393,7 @@ def track_step(
         sel_mask, _ = info_ops.sequential_selection_stereo(
             cov_pred, xc_kp, sigma2, frame.sem_entropy, candidate,
             th_entropy, cam.fx, cam.fy, cam.bf / cam.fx,
+            min_select=seq_min_select,
         )
     else:
         # reference-binary semantics: static covariance for every score

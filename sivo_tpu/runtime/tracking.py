@@ -201,6 +201,7 @@ class Tracker:
             float(self.cfg.tracking.motion_search_th),
             float(self.cfg.tracking.max_accel_m),
             bool(self.cfg.semantic.sequential_selection),
+            int(self.cfg.semantic.seq_min_select),
         )
         self.dmap = result.dmap
         self.carry = result.carry
@@ -312,10 +313,15 @@ class Tracker:
         self, frame: Frame, timestamp: float, fid: int
     ) -> bool:
         """ref: Tracking.cc:453-579."""
+        # init is always batch-scored: the reference's initialization
+        # evaluates every candidate against the same 1e-6 prior
+        # (Tracking.cc:453-579) and the map needs its full initial
+        # breadth; the sequential shrink is a keyframe-creation
+        # semantic (Tracking.cc:921-1031)
         sel, xw, n_sem = _init_selection(
             frame, self.cam, self.cfg.orb.scale_factor,
             self.cfg.tracking.init_covariance,
-            bool(self.cfg.semantic.sequential_selection),
+            sequential_sel=False,
         )
         if int(jax.device_get(n_sem)) <= (
             self.cfg.tracking.min_init_keypoints

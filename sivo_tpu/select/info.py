@@ -207,6 +207,8 @@ def sequential_selection_stereo(
     fx: float,
     fy: float,
     baseline: float,
+    min_select: int = 32,
+    order_by_depth: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy SEQUENTIAL SIVO selection: walk candidates in keypoint
     index order (the reference's loop order, Tracking.cc:935-1025) and,
@@ -237,12 +239,24 @@ def sequential_selection_stereo(
     Returns: (selected (N,) bool, final (6, 6) covariance).
     """
     n = points.shape[0]
-    # compact candidates into SEL_CAP slots preserving keypoint index
-    # order (the reference's loop order): a full-length scan costs
-    # n x per-step overhead on TPU; candidates are a minority of slots
+    # compact candidates into SEL_CAP slots: a full-length scan costs
+    # n x per-step overhead on TPU; candidates are a minority of slots.
+    # Walk order: keypoint index order (the reference's loop order,
+    # Tracking.cc:935) by default. A closest-first walk (ORB-SLAM2's
+    # vDepthIdx heritage) was measured WORSE (ATE 1.21 vs 0.44 on the
+    # corridor probe): the very nearest points have hundreds of px of
+    # inter-frame flow and scale change, so they fail to re-match and
+    # waste the selection budget that index order spends on trackable
+    # mid-range structure.
     cap = min(SEL_CAP, n)
-    order = jnp.where(candidate, jnp.arange(n), n)
-    comp = jnp.sort(order)[:cap]  # candidate indices, index order
+    if order_by_depth:
+        key = jnp.where(candidate, points[:, 2], jnp.inf)
+        _, comp = jax.lax.top_k(-key, cap)
+        comp = jnp.where(
+            candidate[jnp.clip(comp, 0, n - 1)], comp, n
+        )
+    else:
+        comp = jnp.sort(jnp.where(candidate, jnp.arange(n), n))[:cap]
     live = comp < n
     comp_c = jnp.clip(comp, 0, n - 1)
 
@@ -280,22 +294,38 @@ def sequential_selection_stereo(
         ])
         return adj / det
 
-    def step(cov, inp):
+    def step(carry, inp):
+        cov, count = carry
         J, s2, ldR, H, ok = inp
         R = s2 * jnp.eye(3, dtype=cov.dtype)
         S = hmat(hmat(J, cov), J.T) + R  # innovation (3, 3)
         det = _det3(S)
         mi = 0.5 * (jnp.log(jnp.maximum(det, 1e-30)) - ldR) * _LOG2E
-        accept = ok & (mi - H > th)
+        score = mi - H
+        # floor: the pure greedy budget collapses to the information-
+        # theoretic minimum (~5-10 features fully constrain a 6-DoF
+        # pose), which cannot survive real matching attrition — accept
+        # positive-information candidates until min_select is reached,
+        # then let the threshold self-limit (measured: without the
+        # floor the map starves and tracking is lost within ~25 frames)
+        accept = ok & (
+            (score > th) | ((count < min_select) & (score > 0.0))
+        )
         K = hmat(hmat(cov, J.T), _inv3(S, det))
         eye = jnp.eye(6, dtype=cov.dtype)
         cov_upd = hmat(eye - hmat(K, J), cov)
         # symmetrize: float32 Joseph-less form drifts off-symmetric
         cov_upd = 0.5 * (cov_upd + cov_upd.T)
-        return jnp.where(accept, cov_upd, cov), accept
+        return (
+            jnp.where(accept, cov_upd, cov),
+            count + accept.astype(jnp.int32),
+        ), accept
 
-    cov_f, sel_c = jax.lax.scan(
-        step, state_cov, (jac, sig, ld_R, ent, live), unroll=8
+    (cov_f, _), sel_c = jax.lax.scan(
+        step,
+        (state_cov, jnp.zeros((), jnp.int32)),
+        (jac, sig, ld_R, ent, live),
+        unroll=8,
     )
     sel = jnp.zeros(n + 1, bool).at[jnp.where(sel_c, comp, n)].set(
         True, mode="drop"

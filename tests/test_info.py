@@ -226,6 +226,8 @@ def test_sequential_selection_matches_oracle():
         jnp.asarray(cand),
         jnp.float32(th),
         FX, FY, B,
+        min_select=0,  # pure paper semantics for the oracle
+        order_by_depth=False,  # oracle walks index order
     )
     sel = np.asarray(sel)
     # float32 vs float64 can flip knife-edge candidates; demand > 95%
