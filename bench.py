@@ -107,7 +107,17 @@ def _warm_loop_programs(system) -> None:
     lres = local_ba.local_bundle_adjustment(
         lprob, jnp.int32(0), cam
     )
-    _ = jax.device_get(lres.newest_cov)
+    # warm the mapper's packed-fetch program too (same keys/shapes)
+    from sivo_tpu.utils.fetch import fetch_packed
+
+    _ = fetch_packed(
+        {
+            "kf_pose": lres.kf_pose,
+            "pt_pos": lres.pt_pos,
+            "inlier": lres.obs_inlier,
+            "cov": lres.newest_cov,
+        }
+    )
 
     lc = system.loop_closer
     gprob = local_ba.BAProblem(
@@ -124,7 +134,13 @@ def _warm_loop_programs(system) -> None:
         obs_valid=jnp.zeros(lc.GBA_OBS, bool),
     )
     gres = local_ba.global_bundle_adjustment(gprob, cam, iterations=10)
-    _ = jax.device_get(gres.obs_inlier)
+    _ = fetch_packed(
+        {
+            "kf_pose": gres.kf_pose,
+            "pt_pos": gres.pt_pos,
+            "inlier": gres.obs_inlier,
+        }
+    )
 
 
 def main() -> None:
@@ -142,16 +158,39 @@ def main() -> None:
             cfg.semantic, th_entropy_reduction=2.0
         ),
     )
-    # out-and-back: the return leg revisits the outbound corridor so
-    # BoW loop detection + Sim3 correction run inside the bench
-    n_out = 26
-    world = synthetic.make_world(
-        cfg.camera, seed=0, half_width=12.0, length=240.0
+    # circuit: a square-ring corridor driven for one lap plus a
+    # re-drive of its start — the start zone is occluded by the inner
+    # block for most of the lap, so the revisit is a genuine
+    # place-recognition event (BoW detection + Sim3 + essential graph
+    # + GBA all run inside the bench)
+    # ~3 deg/frame yaw (a realistic KITTI urban turn at 10 fps): one
+    # lap is ~119 frames
+    n_frames = 138  # lap + revisit
+    world = synthetic.make_loop_world(
+        cfg.camera, seed=0, outer=13.0, inner=6.0
     )
-    fwd = synthetic.forward_trajectory(n_frames=n_out, speed=1.1)
-    gt = np.concatenate([fwd, fwd[::-1][1:]])
-    n_frames = len(gt)
-    left, right, clsmaps = synthetic.render_sequence(world, gt)
+    gt = synthetic.loop_trajectory(
+        n_frames=n_frames, radius=9.5, speed=0.5
+    )
+    # render cache: the full-res circuit render costs minutes of host
+    # time; keyed by the scene parameters so edits invalidate it
+    import os
+
+    cache_key = (
+        f"circuit-v2-{n_frames}-{cfg.camera.width}x{cfg.camera.height}"
+    )
+    cache_path = f"/tmp/sivo_bench_render_{cache_key}.npz"
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        left, right, clsmaps = z["left"], z["right"], z["cls"]
+    else:
+        left, right, clsmaps = synthetic.render_sequence(world, gt, ss=2)
+        np.savez_compressed(
+            cache_path,
+            left=left.astype(np.uint8),
+            right=right.astype(np.uint8),
+            cls=clsmaps,
+        )
     # uint8 grayscale uploads (channel broadcast happens on device):
     # the host->device link is the bottleneck
     left_color = left.astype(np.uint8)
@@ -170,7 +209,7 @@ def main() -> None:
         sem_frames.append((
             np.asarray(cls_r, np.uint8),
             np.clip(np.asarray(conf_r) * 255.0, 0, 255).astype(np.uint8),
-            np.asarray(ent_r, np.float16),
+            np.clip(np.asarray(ent_r) * 32.0, 0, 255).astype(np.uint8),
         ))
     use_cnn = jnp.asarray(False)
 
@@ -199,7 +238,7 @@ def main() -> None:
     # descriptors (the reference ships a pre-trained ORBvoc.txt, absent
     # here; k^L = 8^3 words is plenty for one corridor)
     voc_desc = []
-    for i in (0, n_out // 2, n_out - 1):
+    for i in (0, n_frames // 4, n_frames // 2):
         build(i)
         f = built[i]
         h = fetch_packed(
@@ -219,7 +258,7 @@ def main() -> None:
     # keyframe pipeline (mapping, triangulation, BA) has run twice
     warm = 0
     kf_events = 0
-    while warm < n_out - 8 and (warm < 4 or kf_events < 2):
+    while warm < 16 and (warm < 4 or kf_events < 2):
         kf_before = system.map.n_keyframes
         run_frame(warm)
         if system.map.n_keyframes > kf_before:
@@ -238,9 +277,17 @@ def main() -> None:
     dt = (time.time() - t0) / max(n_frames - warm, 1)
     fps = 1.0 / dt
 
+    # align by frame id: a mid-run System reset truncates the
+    # trajectory, and positional alignment would silently compare the
+    # post-reset segment against the start of ground truth
     est = system.frame_poses()
-    est = est[: len(gt)]
-    ate = synthetic.ate_rmse(est, gt[: len(est)])
+    rec_ids = np.array(
+        [r.frame_id for r in system.tracker.trajectory], np.int64
+    )
+    ok_ids = rec_ids[rec_ids < len(gt)]
+    ate = synthetic.ate_rmse(est[: len(ok_ids)], gt[ok_ids])
+    n_resets = getattr(system, "n_resets", 0)
+    frames_tracked = len(ok_ids)
     n_lost_all = sum(
         1 for r in system.tracker.trajectory if r.lost
     )
@@ -295,6 +342,10 @@ def main() -> None:
             "frames": n_frames,
             "warmup": warm,
             "lost": n_lost_all,
+            "resets": n_resets,
+            "reloc_attempts": getattr(system, "reloc_attempts", 0),
+            "reloc_successes": getattr(system, "reloc_successes", 0),
+            "frames_in_final_session": frames_tracked,
             "lost_localization_replay": n_lost_loc,
             "keyframes": system.map.n_keyframes,
             "map_points": int(

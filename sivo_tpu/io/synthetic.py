@@ -131,6 +131,94 @@ def make_world(
     return SyntheticWorld(cam=cam, planes=planes)
 
 
+def make_loop_world(
+    cam: CameraConfig,
+    seed: int = 0,
+    outer: float = 13.0,
+    inner: float = 6.0,
+    ground_y: float = 1.6,
+    wall_height: float = 6.0,
+    texel_per_m: int = 8,
+) -> SyntheticWorld:
+    """A square ring corridor around a central block: the loop-closure
+    fixture. Outer walls face inward, the inner block's walls face
+    outward; driving the ring brings the camera back to its start with
+    the start zone OCCLUDED for most of the lap (the inner block),
+    i.e. a genuine place-recognition revisit rather than continuous
+    covisibility."""
+    rng = np.random.default_rng(seed)
+
+    def tex(a_m, b_m):
+        return _make_texture(
+            rng, int(b_m * texel_per_m), int(a_m * texel_per_m)
+        )
+
+    def wall(x0, z0, x1, z1):
+        p0 = np.array([x0, ground_y, z0])
+        e1 = np.array([x1 - x0, 0.0, z1 - z0])
+        ln = float(np.linalg.norm(e1))
+        return Plane(
+            p0=p0,
+            e1=e1,
+            e2=np.array([0.0, -wall_height, 0.0]),
+            texture=tex(ln, wall_height),
+            sem_class=2,  # BUILDING
+        )
+
+    A, B = outer, inner
+    planes = [
+        # ground: one big square (ROAD)
+        Plane(
+            p0=np.array([-A, ground_y, -A]),
+            e1=np.array([2 * A, 0.0, 0.0]),
+            e2=np.array([0.0, 0.0, 2 * A]),
+            texture=tex(2 * A, 2 * A),
+            sem_class=0,
+        ),
+        # outer walls
+        wall(-A, -A, A, -A),
+        wall(A, -A, A, A),
+        wall(A, A, -A, A),
+        wall(-A, A, -A, -A),
+        # inner block walls
+        wall(-B, -B, B, -B),
+        wall(B, -B, B, B),
+        wall(B, B, -B, B),
+        wall(-B, B, -B, -B),
+    ]
+    return SyntheticWorld(cam=cam, planes=planes)
+
+
+def loop_trajectory(
+    n_frames: int,
+    radius: float = 9.5,
+    speed: float = 1.1,
+    seed: int = 1,
+) -> np.ndarray:
+    """(F, 4, 4) Tcw circuit: constant-speed circular drive of the ring
+    (radius between inner/outer walls), camera facing along the path.
+    One lap is ``2*pi*radius/speed`` frames; extra frames re-drive the
+    start of the lap — the loop-closure revisit."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    theta = 0.0
+    for _ in range(n_frames):
+        # position on the circle; facing = the tangent direction
+        # (forward = [sin yaw, 0, cos yaw] in this convention)
+        x = radius * np.sin(theta)
+        z = -radius * np.cos(theta)
+        yaw = np.pi / 2 - theta
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = [x, 0.0, z]
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+        dth = speed / radius * (1 + 0.03 * rng.standard_normal())
+        theta += dth
+    return np.stack(poses)
+
+
 def _render_view(
     world: SyntheticWorld, Tcw: np.ndarray, right: bool, ss: int = 3
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -161,13 +249,29 @@ def _render_view(
 
     img = np.full((h, w), world.background, np.float32)
     cls = np.full((h, w), world.sky_class, np.uint8)
-    for pl in world.planes:
+    # painter's algorithm: render far planes first so near planes
+    # occlude them (needed for circuit worlds where the inner block
+    # hides the far side of the ring; corridor worlds are unaffected)
+    def _depth(pl):
+        c = pl.p0 + 0.5 * pl.e1 + 0.5 * pl.e2
+        return float(np.linalg.norm(R @ c + t))
+
+    xs_flat = None  # lazy per-view pixel grid (shared by all planes)
+    for pl in sorted(world.planes, key=_depth, reverse=True):
         ht, wt = pl.texture.shape
+        # cheap whole-plane reject: all four corners behind the camera
+        corners = np.stack(
+            [pl.p0, pl.p0 + pl.e1, pl.p0 + pl.e2, pl.p0 + pl.e1 + pl.e2]
+        )
+        zc_corners = corners @ R[2] + t[2]
+        if (zc_corners <= 0.1).all():
+            continue
         # homography: texture pixel (x, y) -> world p0 + (x/wt)e1 + (y/ht)e2
         A = np.stack(
             [pl.e1 / wt, pl.e2 / ht, pl.p0], axis=-1
         )  # (3, 3) maps [x, y, 1] -> world point
-        M = K @ (R @ A + np.outer(t, [0, 0, 1.0]))
+        RA = R @ A + np.outer(t, [0, 0, 1.0])
+        M = K @ RA
         # backface/behind-camera handling is covered by masking below
         warped = cv2.warpPerspective(
             pl.texture, M, (w, h),
@@ -175,35 +279,33 @@ def _render_view(
             borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
         )
         # positive-depth mask: z of warped world points must be > 0
-        Minv_rows = (R @ A + np.outer(t, [0, 0, 1.0]))
         ones = np.ones((ht, wt), np.float32)
         zmask = cv2.warpPerspective(
             ones, M, (w, h), flags=cv2.INTER_NEAREST,
             borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
         )
-        # check the actual camera-frame z sign on the warped grid
-        ys, xs = np.mgrid[0:h, 0:w]
-        denom = (
-            Minv_rows[2, 0] * 0 + 1
-        )  # placeholder; z-sign via inverse mapping below
+        cand = (zmask > 0.5) & (warped >= 0)
+        idx = np.flatnonzero(cand.ravel())
+        if idx.size == 0:
+            continue
+        # camera-frame z sign, evaluated ONLY at candidate pixels (the
+        # full-image version dominated render time: ~3M pixels x 9
+        # planes per view)
+        if xs_flat is None:
+            ys_g, xs_g = np.mgrid[0:h, 0:w]
+            xs_flat = xs_g.ravel().astype(np.float64)
+            ys_flat = ys_g.ravel().astype(np.float64)
         Hinv = np.linalg.inv(M)
-        src = Hinv @ np.stack(
-            [xs.ravel(), ys.ravel(), np.ones(h * w)]
+        px = np.stack(
+            [xs_flat[idx], ys_flat[idx], np.ones(idx.size)]
         )
+        src = Hinv @ px
         sw = src[2]
         tex_xy = src[:2] / np.where(np.abs(sw) > 1e-12, sw, 1e-12)
-        zc = (
-            Minv_rows[2, 0] * tex_xy[0]
-            + Minv_rows[2, 1] * tex_xy[1]
-            + Minv_rows[2, 2]
-        )
-        valid = (
-            (zmask > 0.5)
-            & (warped >= 0)
-            & (zc.reshape(h, w) > 0.1)
-        )
-        img[valid] = warped[valid]
-        cls[valid] = pl.sem_class
+        zc = RA[2, 0] * tex_xy[0] + RA[2, 1] * tex_xy[1] + RA[2, 2]
+        keep = idx[zc > 0.1]
+        img.ravel()[keep] = warped.ravel()[keep]
+        cls.ravel()[keep] = pl.sem_class
     if ss > 1:
         img = cv2.resize(
             img, (cam.width, cam.height), interpolation=cv2.INTER_AREA
@@ -241,13 +343,17 @@ def forward_trajectory(
 
 
 def render_sequence(
-    world: SyntheticWorld, poses_cw: np.ndarray
+    world: SyntheticWorld, poses_cw: np.ndarray, ss: int = 3
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Render all frames: (left (F,H,W), right (F,H,W), classes (F,H,W))."""
+    """Render all frames: (left (F,H,W), right (F,H,W), classes (F,H,W)).
+
+    ``ss=2`` halves render cost vs the default 3 while still area-
+    integrating 4 subsamples per pixel (enough to keep distant texture
+    frame-to-frame correlated; see _render_view)."""
     lefts, rights, clss = [], [], []
     for T in poses_cw:
-        l, c = _render_view(world, T, False)
-        r, _ = _render_view(world, T, True)
+        l, c = _render_view(world, T, False, ss=ss)
+        r, _ = _render_view(world, T, True, ss=ss)
         lefts.append(l)
         rights.append(r)
         clss.append(c)

@@ -201,6 +201,18 @@ def observe_points(
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def add_obs_counts(dmap: DeviceMap, pt_ids: jnp.ndarray) -> DeviceMap:
+    """Bump observation counts for cross-observations created by
+    triangulation/fusion (host-table truth mirrored to the device so
+    the keyframe policy's TrackedMapPoints(minObs) counter
+    (ref: Tracking.cc:845-851) sees them; -1 entries ignored)."""
+    idx = jnp.where(pt_ids >= 0, pt_ids, dmap.capacity)
+    return dmap._replace(
+        pt_obs_count=dmap.pt_obs_count.at[idx].add(1, mode="drop")
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def invalidate_points(dmap: DeviceMap, pt_ids: jnp.ndarray) -> DeviceMap:
     """Kill points by id (culling; -1 entries ignored)."""
     idx = jnp.where(pt_ids >= 0, pt_ids, dmap.capacity)

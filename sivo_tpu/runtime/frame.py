@@ -141,10 +141,13 @@ def build_frame(
     if sem_override is not None:
         o_cls, o_conf, o_ent, use_cnn = sem_override
         # quantized uploads welcome: confidence as uint8 (x1/255),
-        # entropy as float16 — the host->device link is the per-frame
-        # bottleneck and full-f32 rasters are 4x the bytes
+        # entropy as uint8 (x1/32, range 0..8 bits, 0.03-bit step) or
+        # float16 — the host->device link is the per-frame bottleneck
+        # and full-f32 rasters are 4x the bytes
         if o_conf.dtype == jnp.uint8:
             o_conf = o_conf.astype(jnp.float32) * (1.0 / 255.0)
+        if o_ent.dtype == jnp.uint8:
+            o_ent = o_ent.astype(jnp.float32) * (1.0 / 32.0)
         classes = jnp.where(use_cnn, classes, o_cls)
         confidence = jnp.where(
             use_cnn, confidence, o_conf.astype(jnp.float32)

@@ -52,6 +52,10 @@ class LoopCloser:
     def __post_init__(self):
         if self.db is None:
             self.db = db_mod.KeyFrameDatabase(n_words=self.voc.n_words)
+        # keyframes whose BoW word fetch is in flight (kf_idx, future)
+        self._pending: list[tuple] = []
+        # in-flight post-loop global BA (the reference's GBA thread)
+        self._gba = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -93,22 +97,56 @@ class LoopCloser:
     # -- pipeline ------------------------------------------------------------
 
     def process_keyframe(self, tracker, kf_idx: int) -> bool:
-        """Returns True if a loop was closed at this keyframe."""
-        bow = self._bow(kf_idx, tracker)
-        closed = False
-        # the reference runs Sim3 RANSAC over ALL consistency-passing
-        # candidates and takes the first that converges
-        # (ref: LoopClosing.cc:242-340) — one bad candidate must not
-        # kill a real loop
-        for cand in self._detect_loop(kf_idx, bow):
-            result = self._compute_sim3(kf_idx, cand, tracker)
-            if result is not None:
-                self._correct_loop(tracker, kf_idx, cand, result)
-                closed = True
-                self.loops_closed += 1
-                self.last_loop_kf = kf_idx
-                break
-        self.db.add(kf_idx, bow)
+        """Synchronous detection + correction (tests / flush path).
+        Returns True if a loop was closed at this keyframe."""
+        self.begin_keyframe(tracker, kf_idx)
+        return bool(self.poll(tracker, block=True))
+
+    def begin_keyframe(self, tracker, kf_idx: int) -> None:
+        """Dispatch the BoW quantization for a mapped keyframe and
+        start the async word fetch — the host-side detection runs in
+        ``poll`` when the copy lands, typically a frame later (the
+        reference's LoopClosing THREAD consumes its queue with the
+        same latency, LoopClosing.cc:72-98)."""
+        from sivo_tpu.utils.fetch import device_get_async
+
+        words, _ = voc_mod.transform(
+            self.voc,
+            self._kf_bits(kf_idx, tracker),
+            tracker.kf_store.semantic[kf_idx]
+            if tracker is not None
+            else jnp.asarray(self.map.kf_data[kf_idx].semantic),
+        )
+        self._pending.append(
+            (kf_idx, device_get_async(words))
+        )
+
+    def poll(self, tracker, block: bool = False) -> list[int]:
+        """Process pending keyframes whose word fetches landed.
+        Returns keyframes at which a loop was closed."""
+        closed: list[int] = []
+        if self._gba is not None and (
+            block or self._gba["future"].done()
+        ):
+            self._gba_apply(tracker)
+        while self._pending and (
+            block or self._pending[0][1].done()
+        ):
+            kf_idx, fut = self._pending.pop(0)
+            bow = voc_mod.bow_vector(self.voc, fut.result())
+            # the reference runs Sim3 RANSAC over ALL consistency-
+            # passing candidates and takes the first that converges
+            # (ref: LoopClosing.cc:242-340) — one bad candidate must
+            # not kill a real loop
+            for cand in self._detect_loop(kf_idx, bow):
+                result = self._compute_sim3(kf_idx, cand, tracker)
+                if result is not None:
+                    self._correct_loop(tracker, kf_idx, cand, result)
+                    closed.append(kf_idx)
+                    self.loops_closed += 1
+                    self.last_loop_kf = kf_idx
+                    break
+            self.db.add(kf_idx, bow)
         return closed
 
     def on_keyframe_culled(self, kf_idx: int) -> None:
@@ -408,11 +446,13 @@ class LoopCloser:
         # fuse the duplicated geometry a loop creates
         # (ref: LoopClosing.cc:548, 609-635 SearchAndFuse)
         self._search_and_fuse(tracker, kf_idx, cand, window)
-        # full-map bundle adjustment on the corrected graph
-        # (ref: LoopClosing.cc:600-601 -> RunGlobalBundleAdjustment,
-        # Optimizer.cc:39-271; synchronous here, so the reference's
-        # propagation to KFs created during the solve is vacuous)
-        self._global_ba(tracker, kf_idx, cand)
+        # full-map bundle adjustment on the corrected graph, dispatched
+        # asynchronously like the reference's GBA THREAD
+        # (ref: LoopClosing.cc:600-601 -> RunGlobalBundleAdjustment);
+        # the solution lands in ``poll`` and is propagated to keyframes
+        # and points created meanwhile (ref: LoopClosing.cc:663-765).
+        # A newer closure supersedes an in-flight solve (mnFullBAIdx).
+        self._gba_dispatch(tracker, kf_idx, cand)
         # re-anchor the tracker on the corrected current keyframe
         # (ref: Tracking.cc:641-646 UpdateLastFrame semantics)
         tracker.apply_world_correction(
@@ -513,15 +553,17 @@ class LoopCloser:
     GBA_PT = 8192
     GBA_OBS = 24576
 
-    def _global_ba(self, tracker, kf_idx: int, cand: int) -> None:
-        """Full-map BA after a loop correction (ref: Optimizer.cc:39-271
+    def _gba_dispatch(self, tracker, kf_idx: int, cand: int) -> None:
+        """Dispatch the post-loop full-map BA (ref: Optimizer.cc:39-271
         via LoopClosing.cc:663-765; 10 iterations, robust kernel off).
         Above GBA_KF keyframes the problem is windowed to the loop's two
         neighborhoods plus the most recent keyframes (the dense Schur
         cross-block buffer bounds capacity; a chunked full-KITTI GBA is
-        a planned optimization)."""
+        a planned optimization). The fetch is asynchronous — the
+        solution applies in ``poll``, with corrections propagated to
+        keyframes/points created during the solve."""
         from sivo_tpu.optim import ba_build, local_ba
-        from sivo_tpu.utils.fetch import fetch_packed
+        from sivo_tpu.utils.fetch import fetch_packed_async
 
         m = self.map
         K = m.n_keyframes
@@ -550,11 +592,101 @@ class LoopCloser:
         res = local_ba.global_bundle_adjustment(
             prob, self.cam, iterations=10
         )
-        out = fetch_packed(
-            {
-                "kf_pose": res.kf_pose,
-                "pt_pos": res.pt_pos,
-                "inlier": res.obs_inlier,
-            }
+        # a newer closure's GBA supersedes an unapplied one
+        # (ref: mnFullBAIdx, LoopClosing.cc:413-424, 674-678)
+        self._gba = {
+            "ctx": ctx,
+            "future": fetch_packed_async(
+                {
+                    "kf_pose": res.kf_pose,
+                    "pt_pos": res.pt_pos,
+                    "inlier": res.obs_inlier,
+                }
+            ),
+            "n_kf": K,
+            "n_pt": m.n_points,
+            "poses_before": m.kf_pose[:K].copy(),
+        }
+
+    def _gba_apply(self, tracker) -> None:
+        """Apply a landed GBA solution and propagate the correction to
+        keyframes and points created (or windowed out) during the solve
+        through the spanning tree (ref: LoopClosing.cc:683-765)."""
+        from sivo_tpu.optim import ba_build
+
+        g = self._gba
+        self._gba = None
+        m = self.map
+        out = g["future"].result()
+        in_problem = np.zeros(m.max_keyframes, bool)
+        in_problem[g["ctx"]["kfs"]] = True
+        poses_old = g["poses_before"]
+        ba_build.apply_solution(m, tracker, g["ctx"], out)
+        # keyframes outside the problem (created during the solve, or
+        # beyond the window): chain through the nearest corrected
+        # ancestor, preserving the relative pose measured BEFORE
+        # correction (ref: :700-733 — Tcw_child = Tchild_parent *
+        # Tparent_corrected)
+        K_now = m.n_keyframes
+        corrected = dict(
+            (k, poses_old[k]) for k in g["ctx"]["kfs"]
+        )  # old pose of every corrected KF
+        pre = {
+            k: m.kf_pose[k].copy() if k >= g["n_kf"] else poses_old[k]
+            for k in range(K_now)
+        }
+        for k in range(K_now):
+            if in_problem[k]:
+                continue
+            p = int(m.kf_parent[k]) if m.kf_parent[k] >= 0 else k - 1
+            # walk to an in-problem ancestor
+            seen = set()
+            while p > 0 and not in_problem[p] and p not in seen:
+                seen.add(p)
+                p = int(m.kf_parent[p]) if m.kf_parent[p] >= 0 else p - 1
+            if not in_problem[p]:
+                continue
+            T_rel = pre[k].astype(np.float64) @ np.linalg.inv(
+                pre[p].astype(np.float64)
+            )
+            m.kf_pose[k] = (
+                T_rel @ m.kf_pose[p].astype(np.float64)
+            ).astype(np.float32)
+            in_problem[k] = True  # children of k may chain through it
+            corrected[k] = pre[k]
+        # points not in the problem: move with their reference keyframe
+        # (ref: :737-761)
+        pt_in = np.zeros(m.max_points, bool)
+        pt_in[g["ctx"]["pt_ids"]] = True
+        n_pt = m.n_points
+        live = m.pt_valid[:n_pt] & ~pt_in[:n_pt]
+        ref_kf = m.pt_ref_kf[:n_pt]
+        for k in np.unique(ref_kf[live]):
+            if k < 0 or k not in corrected:
+                continue
+            sel = np.where(live & (ref_kf == k))[0]
+            T_old = corrected[int(k)].astype(np.float64)
+            T_new = m.kf_pose[int(k)].astype(np.float64)
+            if np.allclose(T_old, T_new, atol=1e-9):
+                continue
+            X = m.pt_pos[sel].astype(np.float64)
+            Xc = X @ T_old[:3, :3].T + T_old[:3, 3]
+            Tn_inv = np.linalg.inv(T_new)
+            m.pt_pos[sel] = (
+                Xc @ Tn_inv[:3, :3].T + Tn_inv[:3, 3]
+            ).astype(np.float32)
+        # push every live position to the device mirror in one program
+        cap = tracker.dmap.capacity
+        pad_ids = np.full(cap, -1, np.int32)
+        pad_ids[:n_pt] = np.arange(n_pt, dtype=np.int32)
+        pad_pos = np.zeros((cap, 3), np.float32)
+        pad_pos[:n_pt] = m.pt_pos[:n_pt]
+        tracker.dmap = device_map.set_positions(
+            tracker.dmap, jnp.asarray(pad_ids), jnp.asarray(pad_pos)
         )
-        ba_build.apply_solution(m, tracker, ctx, out)
+        # re-anchor the tracker on its reference keyframe's correction
+        ref = tracker.last_kf_id
+        if ref >= 0 and ref < K_now:
+            old = pre.get(ref)
+            if old is not None:
+                tracker.apply_world_correction(old, m.kf_pose[ref])

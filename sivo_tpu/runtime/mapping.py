@@ -217,7 +217,8 @@ class LocalMapper:
         from sivo_tpu.utils.fetch import fetch_packed_async
 
         kf_idx = self._queue.pop(0)
-        tracker.finish_kf_host(kf_idx)
+        with self._stage("map.finish_host"):
+            tracker.finish_kf_host(kf_idx)
         with self._stage("map.phase1_dispatch"):
             outs = {}
             ctx_cull = self._cull_dispatch(tracker, outs)
@@ -366,6 +367,12 @@ class LocalMapper:
             free = existing < 0
             if free.any():
                 m.add_observations(nb, pid[free], hit_kp[free])
+                pad_ids = np.full(4096, -1, np.int32)
+                nsel = min(int(free.sum()), 4096)
+                pad_ids[:nsel] = pid[free][:4096]
+                tracker.dmap = device_map.add_obs_counts(
+                    tracker.dmap, jnp.asarray(pad_ids)
+                )
             # conflicts -> merge (rare; bounded python loop)
             conf = (~free) & (existing != pid) & m.pt_valid[
                 np.maximum(existing, 0)
@@ -516,6 +523,13 @@ class LocalMapper:
             sel = nb_of == i
             if sel.any():
                 m.add_observations(nb, ids[sel], kp2_idx[sel])
+        # mirror the cross-observation counts to the device (the KF
+        # policy's n_ref reads dmap.pt_obs_count)
+        pad_ids = np.full(4096, -1, np.int32)
+        pad_ids[: min(len(ids), 4096)] = ids[:4096]
+        tracker.dmap = device_map.add_obs_counts(
+            tracker.dmap, jnp.asarray(pad_ids)
+        )
         # mirror into the device map (one donation program)
         sel_full = np.zeros(N, bool)
         sel_full[kp1_idx] = True

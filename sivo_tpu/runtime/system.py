@@ -34,6 +34,11 @@ class System:
     use_viewer: bool = False  # placeholder parity with the reference API
     max_keyframes: int = 2048
     max_points: int = 131072
+    # frames kept in flight by the pipelined path (track_frame
+    # pipeline=True): each summary fetch gets `depth` frame periods to
+    # ride the ~110ms relay RTT; KF decisions/lost detection lag by the
+    # same amount (the reference's async LocalMapping tolerates this)
+    pipeline_depth: int = 2
 
     def __post_init__(self):
         self.statics = frame_mod.make_statics(self.cfg)
@@ -116,13 +121,14 @@ class System:
     ) -> Optional[np.ndarray]:
         """Track a pre-built Frame.
 
-        ``pipeline=True`` (the CLI/bench hot loop) runs one frame deep:
-        the current frame's program is dispatched and the PREVIOUS
-        frame's pose is returned — its summary fetch has been in flight
-        since the last call, so the relay round-trip hides under this
-        frame's host+device work. Keyframe-rate work (mapping, BA, loop
-        closing) advances as an async pipeline between dispatch and
-        retire — the deterministic equivalent of the reference's
+        ``pipeline=True`` (the CLI/bench hot loop) runs
+        ``pipeline_depth`` frames deep: the current frame's program is
+        dispatched and the frame from `depth` calls ago is retired and
+        its pose returned — that summary fetch has been in flight for
+        `depth` frame periods, so the ~110ms relay round-trip is fully
+        hidden. Keyframe-rate work (mapping, BA, loop closing) advances
+        as an async pipeline between dispatch and retire — the
+        deterministic equivalent of the reference's
         LocalMapping/LoopClosing threads (SURVEY §2.3 item 1).
 
         ``pipeline=False`` keeps the reference's synchronous semantics
@@ -131,11 +137,12 @@ class System:
         from sivo_tpu.runtime.tracking import TrackingState
 
         with self.timer.stage("track"):
-            pose_prev = self._retire_one()
             if self.tracker.state in (
                 TrackingState.NO_IMAGES_YET,
                 TrackingState.NOT_INITIALIZED,
             ):
+                while self.tracker.inflight_count:
+                    self._retire_one()
                 pose = self.tracker.track_init(f, timestamp)
                 if self.tracker.kf_created is not None:
                     self._on_keyframe(self.tracker.kf_created)
@@ -143,6 +150,13 @@ class System:
             self.tracker.dispatch(f, timestamp)
             self._advance_mapping()
             if pipeline:
+                # retire only once the queue exceeds the pipeline
+                # depth: the oldest summary has then had `depth` full
+                # frame periods for its ~110ms relay round-trip to
+                # land, so the wait here is ~0
+                pose_prev = None
+                while self.tracker.inflight_count > self.pipeline_depth:
+                    pose_prev = self._retire_one()
                 return pose_prev
             return self._retire_one()
 
@@ -173,22 +187,28 @@ class System:
             done = self.mapper.advance(self.tracker, block=block)
         self._run_loop_closer(done)
 
-    def _run_loop_closer(self, kf_indices) -> None:
-        """Loop closing for keyframes whose mapping completed
-        (ref: LocalMapping.cc:90 InsertKeyFrame -> LoopClosing::Run)."""
+    def _run_loop_closer(self, kf_indices, block: bool = False) -> None:
+        """Loop closing for keyframes whose mapping completed: dispatch
+        the BoW quantization now, run detection when its fetch lands
+        (ref: LocalMapping.cc:90 InsertKeyFrame -> the asynchronous
+        LoopClosing::Run queue)."""
         if self.loop_closer is None:
             return
-        for kf_idx in kf_indices:
-            with self.timer.stage("loop_closing"):
-                self.loop_closer.process_keyframe(self.tracker, kf_idx)
+        with self.timer.stage("loop_closing"):
+            for kf_idx in kf_indices:
+                self.loop_closer.begin_keyframe(self.tracker, kf_idx)
+            self.loop_closer.poll(self.tracker, block=block)
 
     def flush(self) -> Optional[np.ndarray]:
-        """Complete all in-flight work: retire the pipelined frame and
+        """Complete all in-flight work: retire the pipelined frames and
         drain the mapping pipeline (call before reading the map or
         shutting down). Returns the last retired pose, if any."""
-        pose = self._retire_one()
+        pose = None
+        while self.tracker.inflight_count:
+            p = self._retire_one()
+            pose = p if p is not None else pose
         done = self.mapper.drain(self.tracker)
-        self._run_loop_closer(done)
+        self._run_loop_closer(done, block=True)
         return pose
 
     def activate_localization_mode(self) -> None:
@@ -217,6 +237,7 @@ class System:
             return None
         if self.loop_closer is None:
             return None
+        self.reloc_attempts = getattr(self, "reloc_attempts", 0) + 1
 
         import jax.numpy as jnp
         from sivo_tpu.ops import matching as match_mod
@@ -285,6 +306,7 @@ class System:
             if n_in < 50:
                 continue
             # success: rebuild the tracker carry at the new pose
+            self.reloc_successes = getattr(self, "reloc_successes", 0) + 1
             pose = np.asarray(jax.device_get(final.pose))
             cov = np.asarray(jax.device_get(final.covariance))
             inl = np.asarray(jax.device_get(final.inliers))
@@ -315,6 +337,7 @@ class System:
         System::Reset)."""
         from sivo_tpu.runtime.tracking import Tracker, TrackingState
 
+        self.n_resets = getattr(self, "n_resets", 0) + 1
         self.map.clear()
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
         self.mapper = LocalMapper(

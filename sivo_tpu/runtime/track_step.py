@@ -234,12 +234,21 @@ def track_step(
     # Acceleration sanity bound (beyond the reference): window-searched
     # matching on self-similar structure can lock onto a consistent
     # false offset and "confirm" an implausible motion with real
-    # inliers. Any stage-1 result implying more than ``max_accel``
+    # inliers. Any stage-1 result implying more than ``accel_bound``
     # metres of deviation from the constant-velocity prediction is
     # re-derived by the prediction-FREE reference-KF brute force
     # instead (which can still confirm a genuine hard brake).
+    # The bound scales with current speed — pose-estimate noise grows
+    # with motion (especially in turns, where stereo depth error maps
+    # into along-track deviation) and a fixed bound equal to one frame
+    # of travel rejects LEGITIMATE stage-1 results, routing healthy
+    # frames to the weaker fallback until tracking dies. Saturating at
+    # 2x max_accel keeps the anti-runaway property: a velocity estimate
+    # growing multiplicatively outruns the linear-then-flat slack.
+    speed = jnp.linalg.norm(carry.velocity[:3, 3])
+    accel_bound = max_accel + 0.6 * jnp.minimum(speed, 2.0 * max_accel)
     accel_dev = jnp.linalg.norm(_center(res1.pose) - _center(T_pred))
-    accel_ok = accel_dev <= max_accel
+    accel_ok = accel_dev <= accel_bound
     ok_motion = (
         carry.has_velocity
         & (n_matches >= 20)
@@ -330,7 +339,7 @@ def track_step(
     # window-matches that a local-map-only rescue can lock onto)
     refine_ok = (
         jnp.linalg.norm(_center(res2.pose) - _center(T1))
-        <= 2.0 * max_accel
+        <= 2.0 * accel_bound
     )
     ok = ok1 & (res2.n_inliers >= 30) & refine_ok
     T_final = jnp.where(ok, res2.pose, carry.pose)

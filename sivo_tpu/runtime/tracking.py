@@ -98,7 +98,7 @@ class FrameRecord:
     lost: bool = False
 
 
-@dataclass
+@dataclass(eq=False)  # identity comparison (fields hold device arrays)
 class Ticket:
     """An in-flight tracked frame: the device program is dispatched and
     its ~256-byte summary is being copied back by the fetch worker while
@@ -110,6 +110,10 @@ class Ticket:
     timestamp: float
     frame_id: int
     summary_future: object  # Future[np.ndarray]
+    # world corrections (BA / loop closure) applied AFTER this frame's
+    # program was dispatched: its summary pose is in the old world
+    # frame and must be re-chained at retire (Tcw_new = Tcw_old @ corr)
+    correction: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -144,7 +148,15 @@ class Tracker:
         self._ref_pt_idx = jnp.full(n, -1, jnp.int32)
         self.last_pose = np.eye(4, dtype=np.float32)
         self.last_cov = np.eye(6, dtype=np.float32) * 1e-6
-        self._inflight: Optional[Ticket] = None
+        # FIFO of dispatched-but-unretired frames. Depth >1 lets the
+        # ~110ms relay round-trip of the summary fetch hide under
+        # MULTIPLE frames of host+device work (one frame of overlap
+        # is not enough when the RTT exceeds the frame period); the
+        # cost is the same number of frames of lag on the keyframe
+        # decision and lost-detection, which the reference's
+        # asynchronous LocalMapping already tolerates
+        # (ref: LocalMapping.cc:116-120).
+        self._inflight: list = []
         self.kf_created: Optional[int] = None  # set by retire()
         # keyframes whose host bookkeeping fetch is still in flight
         self._kf_host_pending: dict[int, tuple] = {}
@@ -183,7 +195,6 @@ class Tracker:
     def dispatch(self, frame: Frame, timestamp: float) -> Ticket:
         """Enqueue the fused tracking program for this frame and start
         the async summary copy. Requires an initialized tracker."""
-        assert self._inflight is None, "retire the previous ticket first"
         fid = self.frame_count
         self.frame_count += 1
         result = ts.track_step(
@@ -214,13 +225,18 @@ class Tracker:
             frame_id=fid,
             summary_future=device_get_async(result.summary),
         )
-        self._inflight = tk
+        self._inflight.append(tk)
         return tk
 
+    @property
+    def inflight_count(self) -> int:
+        return len(self._inflight)
+
     def take_inflight(self) -> Optional[Ticket]:
-        tk = self._inflight
-        self._inflight = None
-        return tk
+        """Pop the OLDEST in-flight ticket (FIFO)."""
+        if not self._inflight:
+            return None
+        return self._inflight.pop(0)
 
     def apply_world_correction(
         self, ref_pose_old: np.ndarray, ref_pose_new: np.ndarray
@@ -253,6 +269,13 @@ class Tracker:
         self.last_pose = (
             self.last_pose.astype(np.float64) @ delta
         ).astype(np.float32)
+        # frames already dispatched computed their summary in the OLD
+        # world frame — re-chain them at retire time
+        for tk in self._inflight:
+            tk.correction = (
+                delta if tk.correction is None
+                else tk.correction @ delta
+            )
 
     def retire(self, ticket: Optional[Ticket]) -> Optional[np.ndarray]:
         """Consume a ticket's summary and run the host policy: state
@@ -261,8 +284,14 @@ class Tracker:
         may then attempt relocalization with ticket.frame)."""
         if ticket is None:
             return None
-        if self._inflight is ticket:
-            self._inflight = None
+        if ticket in self._inflight:
+            self._inflight.remove(ticket)
+        # frames dispatched after this ticket mean the device carry has
+        # moved on: a keyframe created from it must not rewrite the
+        # carry's point indices (they index a DIFFERENT frame's
+        # keypoints) — its new points reach the tracker through the
+        # next frame's local-map frustum stage instead
+        stale = len(self._inflight) > 0
         self.kf_created = None
         summary = ticket.summary_future.result()
         self.last_summary = summary  # debug/introspection
@@ -284,12 +313,17 @@ class Tracker:
 
         self.state = TrackingState.OK
         pose = summary[ts.S_POSE].reshape(4, 4).astype(np.float32)
+        if ticket.correction is not None:
+            pose = (
+                pose.astype(np.float64) @ ticket.correction
+            ).astype(np.float32)
         self.last_pose = pose
         self.last_cov = summary[ts.S_COV].reshape(6, 6).astype(np.float32)
 
         if self._need_new_keyframe(summary, fid):
             self._create_new_keyframe(
-                ticket.frame, ticket.result, timestamp, fid
+                ticket.frame, ticket.result, timestamp, fid,
+                stale=stale,
             )
             self.kf_created = self.last_kf_id
             if self.mapper is None:
@@ -432,14 +466,20 @@ class Tracker:
         result: ts.StepResult,
         timestamp: float,
         fid: int,
+        stale: bool = False,
     ) -> None:
         """ref: Tracking.cc:921-1031 CreateNewKeyFrame."""
         self._insert_keyframe_device(
             frame, result.sel_mask, result.xw, result.pt_idx,
             timestamp, fid, self.last_pose, self.last_cov,
         )
-        # the carry's pt_idx must include the freshly created points
-        self.carry = self.carry._replace(pt_idx=self._kf_new_pt_idx)
+        if not stale:
+            # the carry's pt_idx must include the freshly created
+            # points (only valid while the carry still refers to THIS
+            # frame's keypoints — in the deep pipeline newer frames
+            # have been dispatched and the new points are picked up by
+            # the local-map stage instead)
+            self.carry = self.carry._replace(pt_idx=self._kf_new_pt_idx)
 
     def _insert_keyframe_device(
         self,
