@@ -55,6 +55,29 @@ def _warm_loop_programs(system) -> None:
     )
     _ = jax.device_get(res.n_inliers)
 
+    # relocalization programs (EPnP RANSAC + standalone pose polish):
+    # a mid-run reloc otherwise pays their first compiles in the timed
+    # window
+    from sivo_tpu.optim import pose_lm
+    from sivo_tpu.place import pnp as pnp_mod
+
+    pw = jnp.zeros((N, 3), jnp.float32)
+    has = jnp.zeros(N, bool).at[:8].set(True)
+    pres = pnp_mod.ransac_pnp(
+        pw, jnp.zeros((N, 2)), jnp.ones(N), has,
+        jax.random.key(0), cam,
+    )
+    _ = jax.device_get(pres.ok)
+    pobs = pose_lm.PoseObservations(
+        points=pw,
+        uvr=jnp.zeros((N, 3)),
+        sigma2=jnp.ones(N),
+        is_stereo=jnp.zeros(N, bool),
+        valid=has,
+    )
+    pfin = pose_lm.optimize_pose(jnp.eye(4), pobs, cam)
+    _ = jax.device_get(pfin.n_inliers)
+
     scales = jnp.asarray(
         cfg.orb.scale_factor
         ** np.arange(cfg.orb.n_levels, dtype=np.float32)
@@ -155,29 +178,51 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         semantic=dataclasses.replace(
-            cfg.semantic, th_entropy_reduction=2.0
+            cfg.semantic,
+            # 3.0 bits (reference default 4.0): each keyframe minting
+            # 500+ points dilutes the old map's anchoring — fresh
+            # points encode the creation pose, so orientation creeps
+            # between BA solves; a higher bar keeps the old:new balance
+            # while the 128-point floor still guarantees supply
+            th_entropy_reduction=3.0,
+            # reference-BINARY selection semantics: batch scoring
+            # against the static per-frame covariance (the binary
+            # implements the paper's sequential Kalman shrink but
+            # never calls it, sivo_helpers.cpp:221-240). The circuit's
+            # 3 deg/frame yaw rotates the full FOV out in ~23 frames;
+            # sequential selection's ~32 points/KF at 10-frame KF
+            # cadence cannot cover that attrition (measured: tracked
+            # decays 730 -> 0 by f=19 and the session resets), while
+            # batch selection + the 128-point supply floor keeps the
+            # map dense through the turn.
+            sequential_selection=False,
+            seq_min_select=128,
         ),
     )
     # circuit: a square-ring corridor driven for one lap plus a
-    # re-drive of its start — the start zone is occluded by the inner
-    # block for most of the lap, so the revisit is a genuine
+    # re-drive of its first straight — the start zone is occluded by
+    # the inner block for most of the lap, so the revisit is a genuine
     # place-recognition event (BoW detection + Sim3 + essential graph
-    # + GBA all run inside the bench)
-    # ~3 deg/frame yaw (a realistic KITTI urban turn at 10 fps): one
-    # lap is ~119 frames
-    n_frames = 138  # lap + revisit
+    # + GBA all run inside the bench). KITTI-urban motion profile:
+    # long straights at 0.67 m/frame with brief ~4 deg/frame corners
+    # (a continuous-yaw circle rotates the whole FOV out every ~23
+    # frames and starves the map between keyframes).
+    n_frames = 190  # 160-frame lap + first-straight revisit
+    # outer=16: the facing wall stays >= 9.3m ahead everywhere on the
+    # path (at 13 it closes to 6m before each corner, and the ~40
+    # px/frame looming flow there breaks window matching)
     world = synthetic.make_loop_world(
-        cfg.camera, seed=0, outer=13.0, inner=6.0
+        cfg.camera, seed=0, outer=16.0, inner=6.0
     )
-    gt = synthetic.loop_trajectory(
-        n_frames=n_frames, radius=9.5, speed=0.5
+    gt = synthetic.square_loop_trajectory(
+        n_frames=n_frames, half=9.5, corner_r=3.5
     )
     # render cache: the full-res circuit render costs minutes of host
     # time; keyed by the scene parameters so edits invalidate it
     import os
 
     cache_key = (
-        f"circuit-v2-{n_frames}-{cfg.camera.width}x{cfg.camera.height}"
+        f"circuit-v5-{n_frames}-{cfg.camera.width}x{cfg.camera.height}"
     )
     cache_path = f"/tmp/sivo_bench_render_{cache_key}.npz"
     if os.path.exists(cache_path):
@@ -264,6 +309,10 @@ def main() -> None:
         if system.map.n_keyframes > kf_before:
             kf_events += 1
         warm += 1
+    # drain the mapper so the phase-1 programs (cull/triangulate/fuse
+    # gathers) COMPILE during warmup — a first compile inside the timed
+    # window showed up as ~800ms/keyframe of phase1_dispatch
+    system.mapper.drain(system.tracker)
     _warm_loop_programs(system)
     system.timer.totals.clear()
     system.timer.counts.clear()

@@ -54,12 +54,15 @@ def _make_texture(rng, h, w):
         t += amp * layer
         amp *= 1.8
     t = (t - t.min()) / (np.ptp(t) + 1e-9) * 90 + 60
-    # distinctive elements: ~1 per (16px)^2 of texture. Density matters:
-    # pure 1/f noise is self-similar, so window-searched BRIEF matches
-    # alias in the prediction direction and VO locks onto a consistent
-    # false offset (observed as multiplicative z-drift); real imagery is
-    # full of discriminative corners, so the fixture must be too.
-    n_elem = max((h * w) // 256, 24)
+    # distinctive elements, ~1 per (8px)^2 of texture. Density matters
+    # twice over: pure 1/f noise is self-similar, so window-searched
+    # BRIEF matches alias in the prediction direction and VO locks onto
+    # a consistent false offset (measured round 1 as multiplicative
+    # z-drift, and at 1-per-(16px)^2 still as an exponential
+    # x1.5/frame PITCH drift — vertical self-similarity lets matches
+    # track a v-shifted alias that no LM stage can observe). Real
+    # imagery is full of discriminative corners; the fixture must be.
+    n_elem = max((h * w) // 64, 48)
     for _ in range(n_elem):
         cy, cx = rng.integers(0, h), rng.integers(0, w)
         size = int(rng.integers(3, 20))
@@ -138,7 +141,7 @@ def make_loop_world(
     inner: float = 6.0,
     ground_y: float = 1.6,
     wall_height: float = 6.0,
-    texel_per_m: int = 8,
+    texel_per_m: int = 16,
 ) -> SyntheticWorld:
     """A square ring corridor around a central block: the loop-closure
     fixture. Outer walls face inward, the inner block's walls face
@@ -187,6 +190,52 @@ def make_loop_world(
         wall(-B, B, -B, -B),
     ]
     return SyntheticWorld(cam=cam, planes=planes)
+
+
+def square_loop_trajectory(
+    n_frames: int,
+    half: float = 9.5,
+    corner_r: float = 3.5,
+    v_straight: float = 0.667,
+    v_corner: float = 0.25,
+    seed: int = 1,
+) -> np.ndarray:
+    """(F, 4, 4) Tcw drive of a rounded-square circuit inside a square
+    ring world: four straights (length 2*(half-corner_r)) joined by
+    quarter-circle corners of radius ``corner_r``, slower in corners —
+    the KITTI-urban profile (long straights, brief ~4 deg/frame turns)
+    rather than a continuous-yaw circle. Extra frames past one lap
+    re-drive the first straight: the loop-closure revisit."""
+    rng = np.random.default_rng(seed)
+    seg_straight = 2.0 * (half - corner_r)
+    n_s = max(int(round(seg_straight / v_straight)), 1)
+    arc_len = 0.5 * np.pi * corner_r
+    n_c = max(int(round(arc_len / v_corner)), 1)
+    # per-frame (speed, yaw increment) plan for one lap, tiled
+    plan = []
+    for _ in range(4):
+        plan += [(seg_straight / n_s, 0.0)] * n_s
+        plan += [(arc_len / n_c, 0.5 * np.pi / n_c)] * n_c
+    pos = np.array([-half, 0.0, -(half - corner_r)])
+    yaw = 0.0  # forward = [sin yaw, 0, cos yaw] (+z)
+    poses = []
+    i = 0
+    for _ in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = pos
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+        v, dyaw = plan[i % len(plan)]
+        i += 1
+        v *= 1.0 + 0.03 * rng.standard_normal()
+        # mid-step heading: rotate half, step, rotate half (keeps the
+        # arc on the circle instead of spiralling out)
+        yaw += 0.5 * dyaw
+        pos = pos + v * np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+        yaw += 0.5 * dyaw
+    return np.stack(poses)
 
 
 def loop_trajectory(

@@ -133,6 +133,13 @@ class LoopCloser:
             block or self._pending[0][1].done()
         ):
             kf_idx, fut = self._pending.pop(0)
+            if not self.map.kf_valid[kf_idx]:
+                # culled while its BoW fetch was in flight — adding it
+                # to the inverted file would undo on_keyframe_culled's
+                # erase (ref: the SetNotErase/SetBadFlag protocol,
+                # KeyFrame.cc:459-573, serializes these in the
+                # reference)
+                continue
             bow = voc_mod.bow_vector(self.voc, fut.result())
             # the reference runs Sim3 RANSAC over ALL consistency-
             # passing candidates and takes the first that converges

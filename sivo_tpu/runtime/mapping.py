@@ -205,9 +205,12 @@ class LocalMapper:
     def on_keyframe(self, tracker, kf_idx: int) -> list[int]:
         """Enqueue a freshly inserted keyframe (the reference's
         InsertKeyFrame, LocalMapping.cc:116-120 — never blocks the
-        tracking thread) and advance the pipeline once."""
+        tracking thread). Admission happens on the NEXT frame's
+        ``advance``: admitting here would block on the keyframe's own
+        host-bookkeeping fetch (dispatched at insertion moments ago,
+        ~full relay RTT unspent); one frame later it has landed."""
         self._queue.append(kf_idx)
-        return self.advance(tracker)
+        return []
 
     def _admit(self, tracker) -> None:
         """Move the oldest queued keyframe into phase 1. The keyframe's

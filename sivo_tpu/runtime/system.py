@@ -238,6 +238,9 @@ class System:
         if self.loop_closer is None:
             return None
         self.reloc_attempts = getattr(self, "reloc_attempts", 0) + 1
+        import os
+
+        dbg = os.environ.get("SIVO_DEBUG_RELOC")
 
         import jax.numpy as jnp
         from sivo_tpu.ops import matching as match_mod
@@ -255,6 +258,8 @@ class System:
         cands = lc.db.detect_relocalization_candidates(
             bow, lc._covis_groups(), voc_mod.l1_score
         )
+        if dbg:
+            print(f"  [reloc] candidates={cands[:5]}", flush=True)
         for cand in cands[:5]:
             d = self.map.kf_data[cand]
             pts = lc._kf_point_ids(cand)
@@ -267,6 +272,11 @@ class System:
             )
             src = np.asarray(jax.device_get(m.src_for_dst))
             hit = src >= 0
+            if dbg:
+                print(
+                    f"  [reloc] cand={cand} matches={int(hit.sum())}",
+                    flush=True,
+                )
             if hit.sum() < 15:  # ref: Tracking.cc:1283
                 continue
             pt_ids = np.full(f.capacity, -1, np.int64)
@@ -285,6 +295,8 @@ class System:
                 self.tracker.cam,
             )
             if not bool(jax.device_get(res.ok)):
+                if dbg:
+                    print("  [reloc] pnp rejected", flush=True)
                 continue
             # final polish with stereo observations + accept at >= 50
             # inliers (ref: Tracking.cc:1342-1385)
@@ -303,6 +315,8 @@ class System:
                 res.pose, obs, self.tracker.cam
             )
             n_in = int(jax.device_get(final.n_inliers))
+            if dbg:
+                print(f"  [reloc] polish inliers={n_in}", flush=True)
             if n_in < 50:
                 continue
             # success: rebuild the tracker carry at the new pose

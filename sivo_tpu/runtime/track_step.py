@@ -90,6 +90,8 @@ S_USED_FALLBACK = 62  # 1.0 if the ref-KF brute-force stage ran
 S_MOT_N = 63
 S_MOT_INL = 64
 S_MOT_DEV = 65  # metres between stage-1 optimum and the prediction
+S_ROT_DEV = 66  # radians between stage-1 optimum and the prediction
+S_ROT_DEV_S1 = 67  # same for the TAKEN stage-1 branch (motion/fallback)
 SUMMARY_LEN = 72
 
 
@@ -216,8 +218,12 @@ def track_step(
     pt_idx_a, n_a = _match_motion(
         carry, dmap, frame, T_pred, cam, scales, motion_th
     )
+    # 3x widened retry (the reference widens 2x, Tracking.cc:740-745):
+    # turn-onset yaw steps and close-range looming put the true
+    # position ~15-25px from the constant-velocity prediction at KITTI
+    # focal lengths — outside 2x7px but inside 3x at base scale
     pt_idx_b, n_b = _match_motion(
-        carry, dmap, frame, T_pred, cam, scales, 2.0 * motion_th
+        carry, dmap, frame, T_pred, cam, scales, 3.0 * motion_th
     )
     use_wide = n_a < 20
     pt_idx_m = jnp.where(use_wide, pt_idx_b, pt_idx_a)
@@ -248,7 +254,28 @@ def track_step(
     speed = jnp.linalg.norm(carry.velocity[:3, 3])
     accel_bound = max_accel + 0.6 * jnp.minimum(speed, 2.0 * max_accel)
     accel_dev = jnp.linalg.norm(_center(res1.pose) - _center(T_pred))
-    accel_ok = accel_dev <= accel_bound
+
+    def _rot_dev(A, B):
+        """Geodesic angle between two poses' rotations (radians)."""
+        R = hmat(A[:3, :3], B[:3, :3].T)
+        c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+        return jnp.arccos(c)
+
+    # Rotation sanity bound, the angular twin of accel_bound: on a
+    # near-planar view (one wall/facade filling the frame) the pose
+    # optimum has a rotation-vs-translation ambiguity and a windowed
+    # or brute-force match set can "confirm" a solution tens of
+    # degrees off (measured: a -20 deg yaw alias accepted with 61
+    # inliers at a corner entry, anchoring the whole session wrong).
+    # KITTI-at-10fps yaw tops out near 0.07 rad/frame and the
+    # constant-velocity prediction lags a corner entry by one yaw
+    # step, so 0.12 rad separates every legitimate result from the
+    # aliases. Applied only when a velocity prediction exists — after
+    # a loss the frozen-pose "prediction" says nothing about rotation.
+    MAX_ROT_DEV = 0.12
+    rot_dev1 = _rot_dev(res1.pose, T_pred)
+    rot_ok1 = rot_dev1 <= MAX_ROT_DEV
+    accel_ok = (accel_dev <= accel_bound) & rot_ok1
     ok_motion = (
         carry.has_velocity
         & (n_matches >= 20)
@@ -260,7 +287,7 @@ def track_step(
     def _motion_result():
         return (
             ok_motion, res1.pose, pt_idx_m,
-            n_matches, res1.n_inliers,
+            n_matches, res1.n_inliers, rot_dev1,
         )
 
     def _fallback_result():
@@ -280,14 +307,22 @@ def track_step(
             ],
             -1,
         ).astype(jnp.int32)
+        # start from the motion prediction (= carry.pose when no
+        # velocity): mid-turn the last pose is a whole yaw-step stale
+        # and LM from it lands in the planar-wall alias basin
         resf, ptf = _optimize(
-            frame, pt, dmap, carry.pose, cam, scale_factor
+            frame, pt, dmap, T_pred, cam, scale_factor
         )
-        okf = (m.n_matches >= 15) & (resf.n_inliers >= 10)
-        return okf, resf.pose, ptf, m.n_matches, resf.n_inliers
+        # the fallback is prediction-free, but while a velocity exists
+        # its result must still respect the rotation bound — the -20
+        # deg corner-entry alias arrived through THIS path
+        rot_devf = _rot_dev(resf.pose, T_pred)
+        rot_okf = ~carry.has_velocity | (rot_devf <= 2.0 * MAX_ROT_DEV)
+        okf = (m.n_matches >= 15) & (resf.n_inliers >= 10) & rot_okf
+        return okf, resf.pose, ptf, m.n_matches, resf.n_inliers, rot_devf
 
     used_fallback = ~ok_motion
-    ok1, T_s1, pt_idx_m, n_matches, n_inl1 = jax.lax.cond(
+    ok1, T_s1, pt_idx_m, n_matches, n_inl1, rot_dev_s1 = jax.lax.cond(
         ok_motion, _motion_result, _fallback_result
     )
     T1 = jnp.where(ok1, T_s1, T_pred)
@@ -309,6 +344,18 @@ def track_step(
     )
     # exclude keypoints already matched by the motion model
     free_kp = frame.semantic & (pt_idx_m < 0)
+    # rotation-adaptive radius (the reference uses th=1 except after
+    # relocalization, Tracking.cc:795-800): a stereo-created point's
+    # depth error ε reprojects ~fx·ε·sinθ/Z px off once the viewing
+    # direction has swept θ — at 4 deg/frame yaw the error leaves the
+    # base 4px window within ~3 frames, matches die, and the found-
+    # ratio cull then eats the freshly minted points (measured:
+    # tracked 287 -> 115 over 3 mid-corner frames). th grows with the
+    # current rotation rate, capped at the reference's post-reloc 3.
+    rot_rate = jnp.arccos(jnp.clip(
+        (jnp.trace(carry.velocity[:3, :3]) - 1.0) * 0.5, -1.0, 1.0
+    ))
+    th_local = jnp.minimum(1.0 + 25.0 * rot_rate, 3.0)
     mres = matching.search_by_projection_points(
         cand_bits,
         cand_visible,
@@ -317,7 +364,7 @@ def track_step(
         view_cos_all[cand],
         frame.xy, frame.level, frame.desc_bits, frame.u_right,
         free_kp,
-        scales, th=1.0, nn_ratio=0.8,
+        scales, th=th_local, nn_ratio=0.8,
     )
     hit = mres.src_for_dst >= 0
     pt_idx_c = jnp.where(
@@ -329,19 +376,66 @@ def track_step(
     )
 
     # ---- pose optimization #2 (TrackLocalMap) ----------------------------
-    res2, pt_idx_f = _optimize(
+    res2, pt_idx_f2 = _optimize(
         frame, pt_idx_c, dmap, T1, cam, scale_factor
     )
-    # success requires BOTH the motion stage and the local-map stage
-    # (ref: Tracking.cc:266+813-822) — a frame whose motion stage failed
-    # routes to the brute-force reference-KF fallback program instead
-    # (rotation-checked global matching resists the aliased
-    # window-matches that a local-map-only rescue can lock onto)
-    refine_ok = (
-        jnp.linalg.norm(_center(res2.pose) - _center(T1))
-        <= 2.0 * accel_bound
+
+    # ---- re-search at the refined pose + final optimization --------------
+    # Anti-runaway pass: the windows above are centred on the
+    # PREDICTED projections, so their candidate sets are biased toward
+    # the prediction and LM recovers less than half of any prediction
+    # rotation error — a 1.5x/frame multiplicative divergence of the
+    # velocity's rotation (measured: stage-1-vs-prediction rotation
+    # 0.4 -> 5.5 deg over 8 straight-line frames, ending in an alias
+    # or reset). Re-searching the SAME candidates with a tight radius
+    # around the post-LM projections and re-optimizing pulls the match
+    # set toward the data instead of the prediction, which breaks the
+    # feedback (the reference gets the same effect from per-round
+    # chi-square reclassification over BoW-grid matches it re-derives
+    # per round, Optimizer.cc:389-441).
+    xc2 = hmat(dmap.pt_pos[cand], res2.pose[:3, :3].T) + res2.pose[:3, 3]
+    uvr2 = project_stereo(cam, xc2)
+    mres2 = matching.search_by_projection_points(
+        cand_bits,
+        cand_visible,
+        uvr2,
+        cand_level,
+        view_cos_all[cand],
+        frame.xy, frame.level, frame.desc_bits, frame.u_right,
+        frame.semantic,
+        scales, th=1.0, nn_ratio=0.8,
     )
-    ok = ok1 & (res2.n_inliers >= 30) & refine_ok
+    hit2 = mres2.src_for_dst >= 0
+    pt_idx_r = jnp.where(
+        hit2,
+        cand[jnp.clip(mres2.src_for_dst, 0, LOCAL_CAND - 1)].astype(
+            jnp.int32
+        ),
+        -1,
+    )
+    # prefer the unbiased re-search assignment; keep stage-2 inlier
+    # assignments for keypoints the tight window no longer covers
+    pt_idx_merged = jnp.where(pt_idx_r >= 0, pt_idx_r, pt_idx_f2)
+    res3, pt_idx_f = _optimize(
+        frame, pt_idx_merged, dmap, res2.pose, cam, scale_factor
+    )
+
+    # success normally requires the stage-1 result too
+    # (ref: Tracking.cc:266+813-822), but when both stage-1 paths were
+    # REJECTED (usually by the rotation bound on a poisoned window
+    # set), the local-map stages above ran from T_pred and their
+    # re-searched result is accepted as a RESCUE under a stricter
+    # inlier bar — it is prediction-anchored (T1 = T_pred in that
+    # case) and the same rotation/translation sanity bounds apply
+    # below, which is what made a local-map-only rescue unsafe in
+    # round 1 (alias lock-on) and makes it safe now.
+    refine_ok = (
+        jnp.linalg.norm(_center(res3.pose) - _center(T1))
+        <= 2.0 * accel_bound
+    ) & (_rot_dev(res3.pose, T1) <= MAX_ROT_DEV)
+    res2 = res3
+    rescue = carry.has_velocity & (res2.n_inliers >= 50)
+    ok = (ok1 | rescue) & (res2.n_inliers >= 30) & refine_ok
     T_final = jnp.where(ok, res2.pose, carry.pose)
     cov_final = jnp.where(ok, res2.covariance, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)
@@ -405,12 +499,33 @@ def track_step(
             min_select=seq_min_select,
         )
     else:
-        # reference-binary semantics: static covariance for every score
+        # reference-binary semantics: ONE static covariance for every
+        # score (no between-pick shrink, sivo_helpers.cpp:221-240 is
+        # dead code there). Scored against the motion-PROPAGATED
+        # covariance, same evaluation point as the sequential mode:
+        # the reference scores against the post-LM marginal but with
+        # Jacobians at WORLD coordinates (Tracking.cc:966-977), whose
+        # entries grow with distance from the origin — the selection
+        # only stays alive through that coordinate artifact. In this
+        # translation-invariant formulation the post-LM marginal
+        # (collapsed by this frame's ~500 inliers) drives every MI
+        # score below any threshold and creation starves (measured:
+        # 163 points in 138 frames, 91 frames lost).
         scores = info_ops.entropy_reduction_stereo(
-            cov_final, xc_kp, sigma2, frame.sem_entropy,
+            cov_pred, xc_kp, sigma2, frame.sem_entropy,
             cam.fx, cam.fy, cam.bf / cam.fx,
         )
         sel_mask = candidate & (scores > th_entropy)
+        # supply floor (robustness beyond the reference): keep at least
+        # `seq_min_select` of the BEST-scoring candidates so fast yaw
+        # (which rotates the whole FOV out in ~2s) cannot starve the
+        # map between keyframes; inert when the threshold already
+        # passes that many.
+        rank = jnp.where(candidate, scores, -jnp.inf)
+        kth = jax.lax.top_k(rank, seq_min_select)[0][-1]
+        sel_mask = sel_mask | (
+            candidate & (rank >= kth) & jnp.isfinite(rank)
+        )
 
     # ---- velocity + next carry (Tracking.cc:352-360) ----------------------
     velocity = hmat(T_final, se3.inverse(carry.pose))
@@ -452,6 +567,8 @@ def track_step(
     )
     summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
     summary = summary.at[S_MOT_DEV].set(accel_dev)
+    summary = summary.at[S_ROT_DEV].set(rot_dev1)
+    summary = summary.at[S_ROT_DEV_S1].set(rot_dev_s1)
     summary = summary.at[S_N_SELECTED].set(
         jnp.sum(sel_mask).astype(jnp.float32)
     )

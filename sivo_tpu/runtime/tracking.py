@@ -296,6 +296,22 @@ class Tracker:
         summary = ticket.summary_future.result()
         self.last_summary = summary  # debug/introspection
         fid, timestamp = ticket.frame_id, ticket.timestamp
+        import os
+
+        if os.environ.get("SIVO_DEBUG_FRAME"):
+            print(
+                f"  [frame f={fid}] ok={summary[ts.S_OK]:.0f} "
+                f"fb={summary[ts.S_USED_FALLBACK]:.0f} "
+                f"mot_n={summary[ts.S_MOT_N]:.0f} "
+                f"mot_inl={summary[ts.S_MOT_INL]:.0f} "
+                f"dev={summary[ts.S_MOT_DEV]:.2f} "
+                f"nm={summary[ts.S_N_MATCHES_MOTION]:.0f} "
+                f"inl1={summary[ts.S_N_INLIERS1]:.0f} "
+                f"inl2={summary[ts.S_N_INLIERS2]:.0f} "
+                f"trk={summary[ts.S_N_TRACKED]:.0f} "
+                f"sel={summary[ts.S_N_SELECTED]:.0f}",
+                flush=True,
+            )
 
         if summary[ts.S_OK] < 0.5:
             self.state = TrackingState.LOST
@@ -426,10 +442,20 @@ class Tracker:
         mapper_idle = self.mapper is None or not self.mapper.busy
         queue_len = 0 if self.mapper is None else self.mapper.queue_len
         c1a = fid >= self.last_kf_frame_id + max_frames
-        # ref: Tracking.cc:888-889 — c1b requires an idle mapper
+        # ref: Tracking.cc:888-889 — c1b requires an idle mapper. The
+        # reference's mapper clears a keyframe in 1-2 frames, so "idle"
+        # is usually available; this mapper is a multi-frame pipeline
+        # (each stage's relay fetch rides under a frame of tracking),
+        # and gating on busy starves keyframe admission exactly when a
+        # fast turn is draining the tracked set (measured: 8 busy
+        # frames after one dense keyframe, tracked 548 -> 38, lost).
+        # The pipelined-world equivalent of "idle" is an empty
+        # admission queue — mid-flight pipeline stages don't block a
+        # new keyframe, the queue<3 backpressure below still bounds
+        # pile-up.
         c1b = (
             fid >= self.last_kf_frame_id + cfg.min_frames_between_kf
-            and mapper_idle
+            and queue_len == 0
         )
         c1c = n_tracked < n_ref * 0.25 or need_close
         c2 = (n_tracked < n_ref * th_ref or need_close) and n_tracked > 15
