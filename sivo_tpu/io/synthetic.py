@@ -189,6 +189,58 @@ def make_loop_world(
         wall(B, B, -B, B),
         wall(-B, B, -B, -B),
     ]
+    # pillars: small free-standing facades near the walls. A view that
+    # sees only one big wall is near-planar, and a planar point
+    # constellation is pitch/translation-ambiguous under projection
+    # (parallax ~ the constellation's DEPTH VARIANCE) — the measured
+    # slow orientation creep of otherwise-healthy tracking. Real
+    # streets break the degeneracy with parked cars, poles and street
+    # furniture at varied depths; so does this fixture.
+    def pillar(x, z, face_toward, width, height):
+        # one vertical plane at (x, z), normal roughly toward the ring
+        # path; painter's algorithm handles occlusion
+        ux, uz = face_toward
+        n = np.hypot(ux, uz) + 1e-9
+        # e1 runs perpendicular to the facing direction (in-plane)
+        ex, ez = -uz / n, ux / n
+        p0 = np.array([x - 0.5 * width * ex, ground_y,
+                       z - 0.5 * width * ez])
+        return Plane(
+            p0=p0,
+            e1=np.array([width * ex, 0.0, width * ez]),
+            e2=np.array([0.0, -height, 0.0]),
+            texture=tex(width, height),
+            sem_class=2,  # static street furniture / facade
+        )
+
+    # 48 pillars = one every ~4-5m of ring: the degeneracy is only
+    # broken for views that actually CONTAIN off-plane structure, and
+    # at 16 pillars long stretches of the lap saw none (measured:
+    # rotation drift exactly zero while pillars were in view, resuming
+    # the moment the view went wall-only)
+    for k in range(48):
+        side = k % 4  # which side of the ring
+        t = -1.0 + 2.0 * ((k // 4) + rng.uniform(0.2, 0.8)) / 12.0
+        along = t * (A - 1.0)
+        # alternate: hugging the outer wall (facing inward) or the
+        # inner block (facing outward) — both well clear of the path
+        near_outer = (k % 2) == 0
+        off = rng.uniform(0.4, 1.2)
+        d = (A - off) if near_outer else (B + off)
+        fx_, fz_ = (-1.0, 0.0) if near_outer else (1.0, 0.0)
+        if side == 0:
+            x, z, face = d, along, (fx_, fz_)
+        elif side == 1:
+            x, z, face = -d, along, (-fx_, fz_)
+        elif side == 2:
+            x, z, face = along, d, (fz_, fx_)
+        else:
+            x, z, face = along, -d, (fz_, -fx_)
+        planes.append(pillar(
+            x, z, face,
+            width=float(rng.uniform(0.5, 1.4)),
+            height=float(rng.uniform(2.0, 4.5)),
+        ))
     return SyntheticWorld(cam=cam, planes=planes)
 
 

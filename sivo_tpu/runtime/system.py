@@ -153,9 +153,30 @@ class System:
                 # retire only once the queue exceeds the pipeline
                 # depth: the oldest summary has then had `depth` full
                 # frame periods for its ~110ms relay round-trip to
-                # land, so the wait here is ~0
+                # land, so the wait here is ~0.
+                # CRISIS MODE: when the tracked count is collapsing,
+                # the depth-2 lag is fatal — a keyframe decided now
+                # reaches the device map two frames late, after the
+                # map has starved (measured: tracked 177 -> 0 with the
+                # restock landing one frame after the loss). Below the
+                # threshold, retire synchronously: each frame costs a
+                # relay round-trip, but keyframes land immediately.
+                from sivo_tpu.runtime import track_step as ts
+
+                s = getattr(self.tracker, "last_summary", None)
+                trk = float(s[ts.S_N_TRACKED]) if s is not None else 0.0
+                prev_trk = getattr(self, "_prev_tracked", 0.0)
+                self._prev_tracked = trk
+                # absolute floor OR a fast decay (the decay fires ~2
+                # frames before the floor, which is exactly the
+                # pipeline lag being bridged)
+                crisis = s is not None and (
+                    trk < 256
+                    or (prev_trk > 0 and trk < 0.78 * prev_trk)
+                )
+                depth = 0 if crisis else self.pipeline_depth
                 pose_prev = None
-                while self.tracker.inflight_count > self.pipeline_depth:
+                while self.tracker.inflight_count > depth:
                     pose_prev = self._retire_one()
                 return pose_prev
             return self._retire_one()

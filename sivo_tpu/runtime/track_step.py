@@ -149,6 +149,7 @@ def _optimize(
     T_init: jnp.ndarray,
     cam: CameraParams,
     scale_factor: float,
+    sigma_scale: jnp.ndarray | None = None,
 ) -> tuple[pose_lm.PoseResult, jnp.ndarray]:
     has = (pt_idx >= 0) & dmap.pt_valid[
         jnp.clip(pt_idx, 0, dmap.capacity - 1)
@@ -156,6 +157,8 @@ def _optimize(
     pts = dmap.pt_pos[jnp.clip(pt_idx, 0, dmap.capacity - 1)]
     uvr = jnp.concatenate([frame.xy, frame.u_right[:, None]], axis=-1)
     sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
+    if sigma_scale is not None:
+        sigma2 = sigma2 * sigma_scale
     obs = pose_lm.PoseObservations(
         points=pts,
         uvr=uvr,
@@ -274,57 +277,69 @@ def track_step(
     # a loss the frozen-pose "prediction" says nothing about rotation.
     MAX_ROT_DEV = 0.12
     rot_dev1 = _rot_dev(res1.pose, T_pred)
-    rot_ok1 = rot_dev1 <= MAX_ROT_DEV
-    accel_ok = (accel_dev <= accel_bound) & rot_ok1
     ok_motion = (
         carry.has_velocity
         & (n_matches >= 20)
         & (res1.n_inliers >= 10)
-        & accel_ok
+        & (accel_dev <= accel_bound)
     )
 
-    # ---- reference-KF fallback (ref: Tracking.cc:597-639) ----------------
-    def _motion_result():
-        return (
-            ok_motion, res1.pose, pt_idx_m,
-            n_matches, res1.n_inliers, rot_dev1,
-        )
-
-    def _fallback_result():
-        ref_has = (
-            ref_pt_idx >= 0
-        ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
-        m = matching.search_brute_force(
-            ref_desc_bits, ref_has, ref_angle,
-            frame.desc_bits, frame.semantic, frame.angle,
-            nn_ratio=0.7,  # ref: Tracking.cc:603
-        )
-        hit = m.src_for_dst >= 0
-        pt = jnp.where(
-            hit,
-            ref_pt_idx[
-                jnp.clip(m.src_for_dst, 0, len(ref_pt_idx) - 1)
-            ],
-            -1,
-        ).astype(jnp.int32)
-        # start from the motion prediction (= carry.pose when no
-        # velocity): mid-turn the last pose is a whole yaw-step stale
-        # and LM from it lands in the planar-wall alias basin
-        resf, ptf = _optimize(
-            frame, pt, dmap, T_pred, cam, scale_factor
-        )
-        # the fallback is prediction-free, but while a velocity exists
-        # its result must still respect the rotation bound — the -20
-        # deg corner-entry alias arrived through THIS path
-        rot_devf = _rot_dev(resf.pose, T_pred)
-        rot_okf = ~carry.has_velocity | (rot_devf <= 2.0 * MAX_ROT_DEV)
-        okf = (m.n_matches >= 15) & (resf.n_inliers >= 10) & rot_okf
-        return okf, resf.pose, ptf, m.n_matches, resf.n_inliers, rot_devf
-
-    used_fallback = ~ok_motion
-    ok1, T_s1, pt_idx_m, n_matches, n_inl1, rot_dev_s1 = jax.lax.cond(
-        ok_motion, _motion_result, _fallback_result
+    # ---- reference-KF global anchor (ref: Tracking.cc:597-639) -----------
+    # Brute-force (window-FREE) matching against the reference
+    # keyframe plus its OWN pose optimization, computed EVERY frame.
+    # Window searches centre on predicted projections, so their match
+    # sets inherit any prediction error; on self-similar texture the
+    # windowed LM then recovers only part of the error and the
+    # velocity's rotation runs away multiplicatively (measured
+    # x1.55/frame). Folding the global matches into a MIXED
+    # optimization cannot fix this: once the drift residual exceeds a
+    # few pixels, the robust (Huber) loss soft-rejects the honest
+    # minority as outliers regardless of weighting. The anchor
+    # therefore gets its own LM over its all-coherent match set (a
+    # coherent set converges under Huber from any nearby start), and
+    # an ARBITER below prefers it whenever the window path's rotation
+    # disagrees — the reference's TrackReferenceKeyFrame, run as a
+    # continuous absolute anchor rather than a failure fallback.
+    ref_has = (
+        ref_pt_idx >= 0
+    ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
+    bfm = matching.search_brute_force(
+        ref_desc_bits, ref_has, ref_angle,
+        frame.desc_bits, frame.semantic, frame.angle,
+        nn_ratio=0.7,  # ref: Tracking.cc:603
     )
+    bf_hit = bfm.src_for_dst >= 0
+    pt_idx_bf = jnp.where(
+        bf_hit,
+        ref_pt_idx[
+            jnp.clip(bfm.src_for_dst, 0, len(ref_pt_idx) - 1)
+        ],
+        -1,
+    ).astype(jnp.int32)
+    # anchor LM from the motion prediction (= carry.pose when no
+    # velocity): mid-turn the last pose is a whole yaw-step stale
+    resf, ptf = _optimize(
+        frame, pt_idx_bf, dmap, T_pred, cam, scale_factor
+    )
+    rot_devf = _rot_dev(resf.pose, T_pred)
+    okf = (bfm.n_matches >= 15) & (resf.n_inliers >= 20)
+
+    # ---- arbiter ---------------------------------------------------------
+    # When both paths are healthy and AGREE in rotation, the window
+    # path wins (more matches, better-conditioned translation). On
+    # disagreement the anchor wins — the window path is the one that
+    # can drift. 0.035 rad (2 deg) catches the runaway while its
+    # window residuals are still small enough for stage 2/3 to refine.
+    AGREE_ROT = 0.035
+    agree = _rot_dev(res1.pose, resf.pose) <= AGREE_ROT
+    use_motion = ok_motion & (agree | ~okf)
+    ok1 = use_motion | okf
+    T_s1 = jnp.where(use_motion, res1.pose, resf.pose)
+    pt_idx_m = jnp.where(use_motion, pt_idx_m, ptf)
+    n_matches = jnp.where(use_motion, n_matches, bfm.n_matches)
+    n_inl1 = jnp.where(use_motion, res1.n_inliers, resf.n_inliers)
+    rot_dev_s1 = jnp.where(use_motion, rot_dev1, rot_devf)
+    used_fallback = ~use_motion
     T1 = jnp.where(ok1, T_s1, T_pred)
 
     # ---- local map: frustum over ALL points, top-K compaction -----------
@@ -413,37 +428,68 @@ def track_step(
         ),
         -1,
     )
-    # prefer the unbiased re-search assignment; keep stage-2 inlier
-    # assignments for keypoints the tight window no longer covers
-    pt_idx_merged = jnp.where(pt_idx_r >= 0, pt_idx_r, pt_idx_f2)
+    # merge priority: the global reference-KF anchor first (fully
+    # prediction-independent), then the tight re-search, then stage-2
+    # inlier assignments; LM's chi-square rounds arbitrate conflicts
+    pt_idx_merged = jnp.where(
+        pt_idx_bf >= 0,
+        pt_idx_bf,
+        jnp.where(pt_idx_r >= 0, pt_idx_r, pt_idx_f2),
+    )
     res3, pt_idx_f = _optimize(
         frame, pt_idx_merged, dmap, res2.pose, cam, scale_factor
     )
 
     # success normally requires the stage-1 result too
     # (ref: Tracking.cc:266+813-822), but when both stage-1 paths were
-    # REJECTED (usually by the rotation bound on a poisoned window
-    # set), the local-map stages above ran from T_pred and their
-    # re-searched result is accepted as a RESCUE under a stricter
-    # inlier bar — it is prediction-anchored (T1 = T_pred in that
-    # case) and the same rotation/translation sanity bounds apply
-    # below, which is what made a local-map-only rescue unsafe in
-    # round 1 (alias lock-on) and makes it safe now.
+    # REJECTED — which happens when the velocity's rotation has run
+    # away and EVERY data-driven result "deviates" from the corrupt
+    # prediction — the re-searched local-map result is accepted as a
+    # RESCUE under a stricter inlier bar and a NON-CIRCULAR kinematic
+    # bound: rotation vs the LAST POSE, capped by the physical
+    # per-frame maximum plus margin (comparing the rescue against
+    # T_pred would re-reject every good result for exactly the reason
+    # stage 1 failed). Accepting the rescue also REPLACES the runaway
+    # velocity with the data-driven one, resetting the feedback loop.
     refine_ok = (
         jnp.linalg.norm(_center(res3.pose) - _center(T1))
         <= 2.0 * accel_bound
     ) & (_rot_dev(res3.pose, T1) <= MAX_ROT_DEV)
     res2 = res3
-    rescue = carry.has_velocity & (res2.n_inliers >= 50)
-    ok = (ok1 | rescue) & (res2.n_inliers >= 30) & refine_ok
+    MAX_FRAME_ROT = 0.09  # rad/frame: above any KITTI-at-10fps yaw rate
+    rescue = (
+        carry.has_velocity
+        & (res2.n_inliers >= 50)
+        & (
+            _rot_dev(res2.pose, carry.pose)
+            <= MAX_FRAME_ROT + MAX_ROT_DEV
+        )
+        & (
+            jnp.linalg.norm(_center(res2.pose) - _center(carry.pose))
+            <= 2.0 * accel_bound
+        )
+    )
+    ok = (ok1 & (res2.n_inliers >= 30) & refine_ok) | rescue
     T_final = jnp.where(ok, res2.pose, carry.pose)
     cov_final = jnp.where(ok, res2.covariance, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)
 
     # ---- found/visible counters (MapPoint.cc:263-282) --------------------
-    vis_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
-        jnp.where(cand_visible, cand, dmap.capacity)
-    ].add(1)[:-1]
+    # Counted only on TRACKED frames: the reference's IncreaseVisible
+    # runs inside SearchLocalPoints during successful tracking — a
+    # LOST frame never reaches it. Counting "visible" at a frozen
+    # lost-pose with zero founds craters every nearby point's found
+    # ratio, and the first post-relocalization keyframe's cull then
+    # mass-deletes the map the system needs to recover into
+    # (measured: brute-force matches to the reference KF dropping to
+    # ZERO after a loss streak — its points had all been culled).
+    vis_add = jnp.where(
+        ok,
+        jnp.zeros(dmap.capacity + 1, jnp.int32).at[
+            jnp.where(cand_visible, cand, dmap.capacity)
+        ].add(1)[:-1],
+        0,
+    )
     found_add = jnp.zeros(dmap.capacity + 1, jnp.int32).at[
         jnp.where(pt_idx_f >= 0, pt_idx_f, dmap.capacity)
     ].add(1)[:-1]
@@ -528,7 +574,22 @@ def track_step(
         )
 
     # ---- velocity + next carry (Tracking.cc:352-360) ----------------------
-    velocity = hmat(T_final, se3.inverse(carry.pose))
+    # EMA-filtered constant-velocity model (the reference stores the
+    # raw frame-to-frame motion): per-frame orientation noise fed
+    # straight back as a rate prediction excites an ALTERNATING pitch
+    # oscillation whose amplitude grows x1.55/frame (measured:
+    # per-frame estimated rotation 0.2 -> 5 deg over 8 straight-line
+    # frames with yaw and absolute pose error flat — the noise
+    # alternates sign, so only the |per-frame rotation| shows it).
+    # Averaging in the tangent space halves the Nyquist-frequency
+    # component per frame (loop gain < 1 -> damped) while a constant
+    # turn rate passes through within ~2 frames.
+    velocity_meas = hmat(T_final, se3.inverse(carry.pose))
+    vel_d = hmat(velocity_meas, se3.inverse(carry.velocity))
+    velocity_ema = hmat(se3.exp(0.5 * se3.log(vel_d)), carry.velocity)
+    velocity = jnp.where(
+        carry.has_velocity, velocity_ema, velocity_meas
+    )
     new_carry = TrackCarry(
         pose=T_final,
         cov=cov_final,

@@ -309,7 +309,9 @@ class Tracker:
                 f"inl1={summary[ts.S_N_INLIERS1]:.0f} "
                 f"inl2={summary[ts.S_N_INLIERS2]:.0f} "
                 f"trk={summary[ts.S_N_TRACKED]:.0f} "
-                f"sel={summary[ts.S_N_SELECTED]:.0f}",
+                f"sel={summary[ts.S_N_SELECTED]:.0f} "
+                f"rdev={np.degrees(summary[ts.S_ROT_DEV]):.1f} "
+                f"rd1={np.degrees(summary[ts.S_ROT_DEV_S1]):.1f}",
                 flush=True,
             )
 
@@ -333,6 +335,11 @@ class Tracker:
             pose = (
                 pose.astype(np.float64) @ ticket.correction
             ).astype(np.float32)
+        # per-frame rotation rate for the turn-aware keyframe cadence
+        dR = pose[:3, :3] @ self.last_pose[:3, :3].T
+        self._rot_rate = float(
+            np.arccos(np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0))
+        )
         self.last_pose = pose
         self.last_cov = summary[ts.S_COV].reshape(6, 6).astype(np.float32)
 
@@ -466,7 +473,33 @@ class Tracker:
         # In the reference's sparse-map regime c2 fires first, so this
         # clause is inert there.
         c_cadence = c1a and n_tracked > 15
-        decision = bool(((c1a or c1b or c1c) and c2) or c_cadence)
+        # young-map bootstrap (beyond the reference, whose CPU mapper
+        # turns keyframes around in 1-2 frames): until 3 keyframes
+        # exist, n_ref-based gates are blind (fresh points lack the
+        # min_obs observations) while attrition drains the init map —
+        # measured as sessions dying before the first cadence keyframe
+        # at frame 10. Insert every 3 frames until the covisibility
+        # machinery has data.
+        c_young = (
+            self.map.n_keyframes < 3
+            and fid >= self.last_kf_frame_id + 3
+            and n_tracked > 15
+        )
+        # turn-aware cadence (beyond the reference): a sustained yaw
+        # sweep rotates the whole FOV out within ~2 seconds, shedding
+        # ~25% of tracked points per frame, while the n_ref-ratio
+        # gates stay quiet until the map has already starved
+        # (measured: no keyframe for 7 mid-corner frames, tracked
+        # 723 -> 107). Above ~1.7 deg/frame, restock every 3 frames.
+        c_turn = (
+            getattr(self, "_rot_rate", 0.0) > 0.03
+            and fid >= self.last_kf_frame_id + 3
+            and n_tracked > 15
+        )
+        decision = bool(
+            ((c1a or c1b or c1c) and c2) or c_cadence or c_young
+            or c_turn
+        )
         # backpressure (ref: Tracking.cc:901-916): a busy mapper admits
         # a keyframe only while its queue is short — this is what
         # throttles the reference's close-starved regime (the SIVO 30/70
