@@ -170,10 +170,18 @@ class LoopCloser:
             return []
         covis = self.map.covisibility(kf_idx)
         connected = set(np.where(covis > 0)[0].tolist())
-        # minScore = lowest BoW score among covisible KFs (ref: :136-150)
+        # minScore = lowest BoW score among covisible KFs (ref:
+        # :136-150). Scored over the top-15 neighbours only: the
+        # reference iterates all of them, but its C++ sparse dot is
+        # ~free while this Python-dict loop costs ~1-2ms per
+        # neighbour at every keyframe. The restriction raises
+        # min_score slightly (weak neighbours would drive it lower),
+        # i.e. a marginally stricter candidate gate.
+        strongest = np.argsort(-covis)[:15]
         min_score = 1.0
-        for k in connected:
-            if k in self.db.bow:
+        for k in strongest:
+            k = int(k)
+            if covis[k] > 0 and k in self.db.bow:
                 s = voc_mod.l1_score(bow, self.db.bow[k])
                 min_score = min(min_score, s)
         cands = self.db.detect_loop_candidates(

@@ -161,18 +161,24 @@ class System:
                 # restock landing one frame after the loss). Below the
                 # threshold, retire synchronously: each frame costs a
                 # relay round-trip, but keyframes land immediately.
+                # The absolute floor OR a fast decay (the decay fires
+                # ~2 frames before the floor, exactly the pipeline lag
+                # being bridged). Localization mode never inserts
+                # keyframes, so there is nothing for a synchronous
+                # retire to deliver sooner — stay deep.
                 from sivo_tpu.runtime import track_step as ts
 
                 s = getattr(self.tracker, "last_summary", None)
                 trk = float(s[ts.S_N_TRACKED]) if s is not None else 0.0
                 prev_trk = getattr(self, "_prev_tracked", 0.0)
                 self._prev_tracked = trk
-                # absolute floor OR a fast decay (the decay fires ~2
-                # frames before the floor, which is exactly the
-                # pipeline lag being bridged)
-                crisis = s is not None and (
-                    trk < 256
-                    or (prev_trk > 0 and trk < 0.78 * prev_trk)
+                crisis = (
+                    s is not None
+                    and not self.tracker.only_tracking
+                    and (
+                        trk < 256
+                        or (prev_trk > 0 and trk < 0.78 * prev_trk)
+                    )
                 )
                 depth = 0 if crisis else self.pipeline_depth
                 pose_prev = None
