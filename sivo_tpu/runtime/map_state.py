@@ -377,6 +377,31 @@ class MapState:
         order = order[w[order] > 0][: max_n - 1]
         return np.concatenate([[kf_idx], order]).astype(np.int64)
 
+    def local_point_ids(self, kf_idx: int, cap: int) -> np.ndarray:
+        """Live points observed by ``kf_idx``'s covisible neighborhood
+        (ref: Tracking.cc:1087-1235 UpdateLocalKeyFrames/Points, local
+        KFs capped at 80). When over ``cap``, keeps the points whose
+        best observing keyframe is most covisible with ``kf_idx`` (the
+        reference has no cap; frustum culling bounds its cost)."""
+        kfs = self.local_keyframes(kf_idx, max_n=80)
+        obs = self.observations()
+        if len(obs) == 0:
+            return np.zeros(0, np.int64)
+        sub = obs[np.isin(obs[:, 0], kfs)]
+        if len(sub) == 0:
+            return np.zeros(0, np.int64)
+        ids = np.unique(sub[:, 1])
+        if len(ids) <= cap:
+            return ids
+        wkf = np.zeros(self.n_keyframes + 1, np.float64)
+        cw = self.covisibility(kf_idx).astype(np.float64)
+        wkf[kfs] = cw[kfs] + 1.0
+        wkf[kf_idx] = np.inf  # own points always survive
+        ptw = np.zeros(self.max_points, np.float64)
+        np.maximum.at(ptw, sub[:, 1], wkf[sub[:, 0]])
+        order = np.argsort(-ptw[ids], kind="stable")
+        return ids[order[:cap]]
+
     def points_seen_by(self, kf_ids: np.ndarray) -> np.ndarray:
         """Unique live point ids observed by any of the given KFs."""
         obs = self.observations()

@@ -12,11 +12,14 @@ reference's design (CPU threads sharing a pointer graph) translated
 naively costs 15+ round trips per frame. One fused program + one fetch
 keeps the 10 FPS budget.
 
-Deliberate divergence from the reference: local-map candidates are the
-frustum-visible live points (device-side top-K compaction) rather than
-the covisible-keyframe point set (Tracking.cc:1087-1235) — a superset
-with the same accept tests; covisibility stays host-side for mapping
-and loop closing.
+Local-map candidates are a host-fed id list of the reference
+keyframe's covisible-neighborhood points (ref: Tracking.cc:1087-1235
+UpdateLocalKeyFrames/UpdateLocalPoints), refreshed at keyframe rate.
+Round 2 used the frustum-visible WHOLE map instead; besides scanning
+the full point capacity every frame, that silently re-attached the
+tracker to spatially-near but covisibility-disconnected old points on
+map revisits — stitching loops without any place-recognition event,
+which masked loop closure entirely.
 """
 
 from __future__ import annotations
@@ -42,10 +45,10 @@ from sivo_tpu.runtime.frame import Frame
 from sivo_tpu.select import info as info_ops
 from sivo_tpu.utils.precision import hmat
 
-LOCAL_CAND = 4096  # frustum candidate cap (nearest-first top-k; local
-#                    maps rarely exceed a few thousand visible points,
-#                    and the [cand, kp] match matrices dominate the
-#                    per-frame HBM traffic)
+LOCAL_CAND = 2048  # local-map candidate capacity (host-fed covisible
+#                    point ids; the [cand, kp] match matrices dominate
+#                    the per-frame HBM traffic — measured 6.4 ms at
+#                    [4096, 2048] vs 4.0 ms at [2048, 2048])
 
 
 class TrackCarry(NamedTuple):
@@ -149,7 +152,6 @@ def _optimize(
     T_init: jnp.ndarray,
     cam: CameraParams,
     scale_factor: float,
-    sigma_scale: jnp.ndarray | None = None,
 ) -> tuple[pose_lm.PoseResult, jnp.ndarray]:
     has = (pt_idx >= 0) & dmap.pt_valid[
         jnp.clip(pt_idx, 0, dmap.capacity - 1)
@@ -157,8 +159,6 @@ def _optimize(
     pts = dmap.pt_pos[jnp.clip(pt_idx, 0, dmap.capacity - 1)]
     uvr = jnp.concatenate([frame.xy, frame.u_right[:, None]], axis=-1)
     sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
-    if sigma_scale is not None:
-        sigma2 = sigma2 * sigma_scale
     obs = pose_lm.PoseObservations(
         points=pts,
         uvr=uvr,
@@ -188,6 +188,8 @@ def track_step(
     min_obs: jnp.ndarray,  # () int32 keyframe-policy obs threshold
     ref_desc_bits: jnp.ndarray,  # (N, 256) reference-KF descriptors
     ref_angle: jnp.ndarray,  # (N,) reference-KF keypoint angles
+    local_ids: jnp.ndarray,  # (LOCAL_CAND,) int32 covisible point ids
+    run_anchor: jnp.ndarray,  # () bool host anchor-cadence flag
     cam: CameraParams,
     scale_factor: float = 1.2,
     n_levels: int = 8,
@@ -224,13 +226,18 @@ def track_step(
     # 3x widened retry (the reference widens 2x, Tracking.cc:740-745):
     # turn-onset yaw steps and close-range looming put the true
     # position ~15-25px from the constant-velocity prediction at KITTI
-    # focal lengths — outside 2x7px but inside 3x at base scale
-    pt_idx_b, n_b = _match_motion(
-        carry, dmap, frame, T_pred, cam, scales, 3.0 * motion_th
-    )
+    # focal lengths — outside 2x7px but inside 3x at base scale.
+    # Runs under lax.cond — the second [N, N] match costs ~5 ms of HBM
+    # traffic and healthy frames never need it.
     use_wide = n_a < 20
-    pt_idx_m = jnp.where(use_wide, pt_idx_b, pt_idx_a)
-    n_matches = jnp.where(use_wide, n_b, n_a)
+    pt_idx_m, n_matches = jax.lax.cond(
+        use_wide,
+        lambda: _match_motion(
+            carry, dmap, frame, T_pred, cam, scales, 3.0 * motion_th
+        ),
+        lambda: (pt_idx_a, n_a),
+    )
+    n_matches_mot = n_matches  # pre-arbiter (summary diagnostics)
 
     # ---- pose optimization #1 -------------------------------------------
     res1, pt_idx_m = _optimize(
@@ -282,47 +289,93 @@ def track_step(
         & (n_matches >= 20)
         & (res1.n_inliers >= 10)
         & (accel_dev <= accel_bound)
+        & (rot_dev1 <= MAX_ROT_DEV)
     )
 
     # ---- reference-KF global anchor (ref: Tracking.cc:597-639) -----------
     # Brute-force (window-FREE) matching against the reference
-    # keyframe plus its OWN pose optimization, computed EVERY frame.
-    # Window searches centre on predicted projections, so their match
-    # sets inherit any prediction error; on self-similar texture the
-    # windowed LM then recovers only part of the error and the
-    # velocity's rotation runs away multiplicatively (measured
-    # x1.55/frame). Folding the global matches into a MIXED
-    # optimization cannot fix this: once the drift residual exceeds a
-    # few pixels, the robust (Huber) loss soft-rejects the honest
-    # minority as outliers regardless of weighting. The anchor
-    # therefore gets its own LM over its all-coherent match set (a
-    # coherent set converges under Huber from any nearby start), and
-    # an ARBITER below prefers it whenever the window path's rotation
-    # disagrees — the reference's TrackReferenceKeyFrame, run as a
-    # continuous absolute anchor rather than a failure fallback.
-    ref_has = (
-        ref_pt_idx >= 0
-    ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
-    bfm = matching.search_brute_force(
-        ref_desc_bits, ref_has, ref_angle,
-        frame.desc_bits, frame.semantic, frame.angle,
-        nn_ratio=0.7,  # ref: Tracking.cc:603
-    )
-    bf_hit = bfm.src_for_dst >= 0
-    pt_idx_bf = jnp.where(
-        bf_hit,
-        ref_pt_idx[
-            jnp.clip(bfm.src_for_dst, 0, len(ref_pt_idx) - 1)
-        ],
-        -1,
-    ).astype(jnp.int32)
-    # anchor LM from the motion prediction (= carry.pose when no
-    # velocity): mid-turn the last pose is a whole yaw-step stale
-    resf, ptf = _optimize(
-        frame, pt_idx_bf, dmap, T_pred, cam, scale_factor
-    )
-    rot_devf = _rot_dev(resf.pose, T_pred)
-    okf = (bfm.n_matches >= 15) & (resf.n_inliers >= 20)
+    # keyframe plus its OWN pose optimization. Window searches centre
+    # on predicted projections, so their match sets inherit any
+    # prediction error; on self-similar texture the windowed LM then
+    # recovers only part of the error and the velocity's rotation runs
+    # away multiplicatively (measured x1.55/frame). Folding the global
+    # matches into a MIXED optimization cannot fix this: once the
+    # drift residual exceeds a few pixels, the robust (Huber) loss
+    # soft-rejects the honest minority as outliers regardless of
+    # weighting. The anchor therefore gets its own LM over its
+    # all-coherent match set (a coherent set converges under Huber
+    # from any nearby start), and an ARBITER below prefers it whenever
+    # the window path's rotation disagrees — the reference's
+    # TrackReferenceKeyFrame, run as a continuous absolute anchor
+    # rather than a failure fallback.
+    # Cost control: the anchor (brute force + LM ≈ 10 ms) runs under
+    # lax.cond — always when the motion path failed its sanity gates,
+    # at the host's cadence flag otherwise (every 2nd frame): a
+    # runaway grows ~1.55x/frame, so one unanchored frame stays well
+    # inside the arbiter's catch range.
+    need_anchor = run_anchor | ~ok_motion
+
+    def _anchor_path():
+        ref_has = (
+            ref_pt_idx >= 0
+        ) & dmap.pt_valid[jnp.clip(ref_pt_idx, 0, dmap.capacity - 1)]
+        bfm = matching.search_brute_force(
+            ref_desc_bits, ref_has, ref_angle,
+            frame.desc_bits, frame.semantic, frame.angle,
+            nn_ratio=0.7,  # ref: Tracking.cc:603
+        )
+        bf_hit = bfm.src_for_dst >= 0
+        pt_idx_bf = jnp.where(
+            bf_hit,
+            ref_pt_idx[
+                jnp.clip(bfm.src_for_dst, 0, len(ref_pt_idx) - 1)
+            ],
+            -1,
+        ).astype(jnp.int32)
+        # Prediction-FREE coarse pose: batched EPnP RANSAC over the
+        # brute-force matches. The pose LM's chi2 rounds drop honest
+        # matches once the start error exceeds ~2 deg (20+px
+        # residuals), so an LM seeded from a corrupt velocity
+        # prediction converges INTO the alias it was meant to veto
+        # (measured: rdev 3 -> 16.6 deg THROUGH fallback frames).
+        # EPnP over descriptor matches has no basin: it is this
+        # frame's relocalization-grade estimate at tracking rate.
+        from sivo_tpu.place import pnp as pnp_mod
+
+        has_bf = pt_idx_bf >= 0
+        pw = dmap.pt_pos[jnp.clip(pt_idx_bf, 0, dmap.capacity - 1)]
+        sigma2_kp = scale_factor ** (
+            2.0 * frame.level.astype(jnp.float32)
+        )
+        # data-derived fold (no per-frame key upload through the relay)
+        seed = (
+            jnp.sum(frame.xy, dtype=jnp.float32) * 7.0
+        ).astype(jnp.int32)
+        key = jax.random.fold_in(jax.random.key(17), seed)
+        pres = pnp_mod.ransac_pnp(
+            pw, frame.xy, sigma2_kp, has_bf, key, cam
+        )
+        T0 = jnp.where(pres.ok, pres.pose, T_pred)
+        resf, ptf = _optimize(
+            frame, pt_idx_bf, dmap, T0, cam, scale_factor
+        )
+        okf = (bfm.n_matches >= 15) & (resf.n_inliers >= 20)
+        return (
+            resf.pose, resf.n_inliers, resf.covariance, ptf,
+            pt_idx_bf, bfm.n_matches, okf,
+        )
+
+    def _no_anchor():
+        none = jnp.full_like(ref_pt_idx, -1)
+        return (
+            T_pred, jnp.int32(0), jnp.eye(6), none, none,
+            jnp.int32(0), jnp.asarray(False),
+        )
+
+    (
+        posef, n_inlf, covf, ptf, pt_idx_bf, bf_n, okf
+    ) = jax.lax.cond(need_anchor, _anchor_path, _no_anchor)
+    rot_devf = _rot_dev(posef, T_pred)
 
     # ---- arbiter ---------------------------------------------------------
     # When both paths are healthy and AGREE in rotation, the window
@@ -331,31 +384,32 @@ def track_step(
     # can drift. 0.035 rad (2 deg) catches the runaway while its
     # window residuals are still small enough for stage 2/3 to refine.
     AGREE_ROT = 0.035
-    agree = _rot_dev(res1.pose, resf.pose) <= AGREE_ROT
+    agree = _rot_dev(res1.pose, posef) <= AGREE_ROT
     use_motion = ok_motion & (agree | ~okf)
     ok1 = use_motion | okf
-    T_s1 = jnp.where(use_motion, res1.pose, resf.pose)
+    T_s1 = jnp.where(use_motion, res1.pose, posef)
     pt_idx_m = jnp.where(use_motion, pt_idx_m, ptf)
-    n_matches = jnp.where(use_motion, n_matches, bfm.n_matches)
-    n_inl1 = jnp.where(use_motion, res1.n_inliers, resf.n_inliers)
+    n_matches = jnp.where(use_motion, n_matches, bf_n)
+    n_inl1 = jnp.where(use_motion, res1.n_inliers, n_inlf)
     rot_dev_s1 = jnp.where(use_motion, rot_dev1, rot_devf)
     used_fallback = ~use_motion
     T1 = jnp.where(ok1, T_s1, T_pred)
 
-    # ---- local map: frustum over ALL points, top-K compaction -----------
-    visible, uvr_all, dist_all, view_cos_all = frustum_check(
-        cam, T1, dmap.pt_pos, dmap.pt_normal,
-        dmap.pt_min_dist, dmap.pt_max_dist,
+    # ---- local map: frustum over the covisible-neighborhood ids ---------
+    # (ref: Tracking.cc:1033-1235 SearchLocalPoints over UpdateLocalMap)
+    cand = jnp.clip(local_ids, 0, dmap.capacity - 1)
+    cand_pos = dmap.pt_pos[cand]
+    cand_maxd = dmap.pt_max_dist[cand]
+    visible, cand_uvr, cand_dist, cand_view_cos = frustum_check(
+        cam, T1, cand_pos, dmap.pt_normal[cand],
+        dmap.pt_min_dist[cand], cand_maxd,
     )
-    visible = visible & dmap.pt_valid
-    # prefer near points when over capacity
-    prio = jnp.where(visible, -dist_all, -jnp.inf)
-    _, cand = jax.lax.top_k(prio, LOCAL_CAND)
-    cand_visible = visible[cand]
+    cand_visible = (
+        visible & (local_ids >= 0) & dmap.pt_valid[cand]
+    )
     cand_bits = unpack_bits(dmap.pt_desc_u8[cand])
     cand_level = predict_scale(
-        dist_all[cand], dmap.pt_max_dist[cand] / 1.2,
-        scale_factor, n_levels,
+        cand_dist, cand_maxd / 1.2, scale_factor, n_levels,
     )
     # exclude keypoints already matched by the motion model
     free_kp = frame.semantic & (pt_idx_m < 0)
@@ -374,9 +428,9 @@ def track_step(
     mres = matching.search_by_projection_points(
         cand_bits,
         cand_visible,
-        uvr_all[cand],
+        cand_uvr,
         cand_level,
-        view_cos_all[cand],
+        cand_view_cos,
         frame.xy, frame.level, frame.desc_bits, frame.u_right,
         free_kp,
         scales, th=th_local, nn_ratio=0.8,
@@ -408,14 +462,14 @@ def track_step(
     # feedback (the reference gets the same effect from per-round
     # chi-square reclassification over BoW-grid matches it re-derives
     # per round, Optimizer.cc:389-441).
-    xc2 = hmat(dmap.pt_pos[cand], res2.pose[:3, :3].T) + res2.pose[:3, 3]
+    xc2 = hmat(cand_pos, res2.pose[:3, :3].T) + res2.pose[:3, 3]
     uvr2 = project_stereo(cam, xc2)
     mres2 = matching.search_by_projection_points(
         cand_bits,
         cand_visible,
         uvr2,
         cand_level,
-        view_cos_all[cand],
+        cand_view_cos,
         frame.xy, frame.level, frame.desc_bits, frame.u_right,
         frame.semantic,
         scales, th=1.0, nn_ratio=0.8,
@@ -451,27 +505,41 @@ def track_step(
     # T_pred would re-reject every good result for exactly the reason
     # stage 1 failed). Accepting the rescue also REPLACES the runaway
     # velocity with the data-driven one, resetting the feedback loop.
+    # Anchor rotation veto on the FINAL result: the merged LM is
+    # majority window matches, and on self-similar texture those can
+    # re-introduce the prediction alias even from an anchored stage 1.
+    # When the prediction-free anchor is healthy and the final
+    # rotation moved more than 2x the agreement bound away from it,
+    # the anchor's own solution stands (its EPnP seed owes nothing to
+    # the velocity, so it cannot participate in the feedback loop).
+    anchor_override = okf & (
+        _rot_dev(res3.pose, posef) > 2.0 * AGREE_ROT
+    )
+    T_sel = jnp.where(anchor_override, posef, res3.pose)
+    inl_sel = jnp.where(anchor_override, n_inlf, res3.n_inliers)
+    cov_sel = jnp.where(anchor_override, covf, res3.covariance)
+    pt_idx_f = jnp.where(anchor_override, ptf, pt_idx_f)
     refine_ok = (
-        jnp.linalg.norm(_center(res3.pose) - _center(T1))
+        jnp.linalg.norm(_center(T_sel) - _center(T1))
         <= 2.0 * accel_bound
-    ) & (_rot_dev(res3.pose, T1) <= MAX_ROT_DEV)
-    res2 = res3
+    ) & (_rot_dev(T_sel, T1) <= MAX_ROT_DEV)
     MAX_FRAME_ROT = 0.09  # rad/frame: above any KITTI-at-10fps yaw rate
     rescue = (
         carry.has_velocity
-        & (res2.n_inliers >= 50)
+        & (inl_sel >= 50)
         & (
-            _rot_dev(res2.pose, carry.pose)
+            _rot_dev(T_sel, carry.pose)
             <= MAX_FRAME_ROT + MAX_ROT_DEV
         )
         & (
-            jnp.linalg.norm(_center(res2.pose) - _center(carry.pose))
+            jnp.linalg.norm(_center(T_sel) - _center(carry.pose))
             <= 2.0 * accel_bound
         )
     )
-    ok = (ok1 & (res2.n_inliers >= 30) & refine_ok) | rescue
-    T_final = jnp.where(ok, res2.pose, carry.pose)
-    cov_final = jnp.where(ok, res2.covariance, cov_pred)
+    min_inl = jnp.where(anchor_override, 20, 30)
+    ok = (ok1 & (inl_sel >= min_inl) & refine_ok) | rescue
+    T_final = jnp.where(ok, T_sel, carry.pose)
+    cov_final = jnp.where(ok, cov_sel, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)
 
     # ---- found/visible counters (MapPoint.cc:263-282) --------------------
@@ -587,14 +655,32 @@ def track_step(
     velocity_meas = hmat(T_final, se3.inverse(carry.pose))
     vel_d = hmat(velocity_meas, se3.inverse(carry.velocity))
     velocity_ema = hmat(se3.exp(0.5 * se3.log(vel_d)), carry.velocity)
+    # rescue and FALLBACK frames REPLACE the carry velocity with the
+    # data-driven measurement instead of EMA-blending half of it back:
+    # both fire precisely when the carried velocity is suspect (the
+    # reference's velocity is always the raw measurement,
+    # Tracking.cc:352-360 — the EMA is our smoothing for the healthy
+    # windowed path only)
     velocity = jnp.where(
-        carry.has_velocity, velocity_ema, velocity_meas
+        carry.has_velocity & ~rescue & ~used_fallback & ~anchor_override,
+        velocity_ema,
+        velocity_meas,
     )
+    # An anchor correction (stage-1 fallback or final override) is a
+    # pose JUMP relative to the prediction's drifted frame of
+    # reference: a velocity measured across it replays the correction
+    # as a rate next frame, setting up a window-drift/anchor-correct
+    # limit cycle (measured: rdev alternating 2.3 <-> 3.3 deg with fb
+    # toggling every frame, never converging even in a constant-rate
+    # turn). Dropping the velocity for one frame re-derives it from
+    # two anchored poses — but only when there WAS a velocity to
+    # corrupt: post-init/post-loss fallback frames must still seed one.
+    jumped = carry.has_velocity & (used_fallback | anchor_override)
     new_carry = TrackCarry(
         pose=T_final,
         cov=cov_final,
         velocity=jnp.where(ok, velocity, jnp.eye(4)),
-        has_velocity=ok,
+        has_velocity=ok & ~jumped,
         pt_idx=pt_idx_f,
         desc_bits=frame.desc_bits,
         level=frame.level,
@@ -618,13 +704,13 @@ def track_step(
     )
     summary = summary.at[S_N_INLIERS1].set(n_inl1.astype(jnp.float32))
     summary = summary.at[S_N_INLIERS2].set(
-        res2.n_inliers.astype(jnp.float32)
+        inl_sel.astype(jnp.float32)
     )
     summary = summary.at[S_USED_FALLBACK].set(
-        used_fallback.astype(jnp.float32)
+        (used_fallback | anchor_override).astype(jnp.float32)
     )
     summary = summary.at[S_MOT_N].set(
-        jnp.where(use_wide, n_b, n_a).astype(jnp.float32)
+        n_matches_mot.astype(jnp.float32)
     )
     summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
     summary = summary.at[S_MOT_DEV].set(accel_dev)

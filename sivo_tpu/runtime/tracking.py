@@ -44,6 +44,21 @@ def _chain_pose(pose: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     return hmat(pose, delta)
 
 
+@jax.jit
+def _merge_local_ids(
+    new_ids: jnp.ndarray, prev_ids: jnp.ndarray
+) -> jnp.ndarray:
+    """Prepend a fresh keyframe's point ids to the local-map id list
+    (stable compaction of -1 padding; duplicates with the previous list
+    are harmless — they lose the dst-conflict resolution in matching).
+    The exact covisible set replaces this once host bookkeeping lands."""
+    cat = jnp.concatenate([new_ids, prev_ids])
+    order = jnp.argsort(
+        jnp.where(cat >= 0, 0, 1), stable=True
+    )
+    return cat[order][: prev_ids.shape[0]]
+
+
 def make_camera(cfg: SystemConfig) -> CameraParams:
     c = cfg.camera
     return CameraParams(
@@ -146,6 +161,16 @@ class Tracker:
         self._ref_desc_bits = jnp.zeros((n, 256), jnp.float32)
         self._ref_angle = jnp.zeros(n, jnp.float32)
         self._ref_pt_idx = jnp.full(n, -1, jnp.int32)
+        # covisible local-map point ids (ref: Tracking.cc:1087-1235):
+        # device-extended at KF insertion, host-refreshed when the
+        # keyframe's bookkeeping lands (finish_kf_host) and after
+        # triangulation adds points
+        self._local_ids_dev = jnp.full(ts.LOCAL_CAND, -1, jnp.int32)
+        self.local_cap_binds = 0  # cap-bind counter (truncation events)
+        # cached device bools (every fresh upload pays relay RTT)
+        self._bool_dev = {
+            False: jnp.asarray(False), True: jnp.asarray(True)
+        }
         self.last_pose = np.eye(4, dtype=np.float32)
         self.last_cov = np.eye(6, dtype=np.float32) * 1e-6
         # FIFO of dispatched-but-unretired frames. Depth >1 lets the
@@ -197,6 +222,24 @@ class Tracker:
         the async summary copy. Requires an initialized tracker."""
         fid = self.frame_count
         self.frame_count += 1
+        # anchor cadence: every 2nd frame, plus the frame right after a
+        # keyframe insertion (fresh reference data), plus whenever the
+        # (pipeline-lagged) summary shows rotation deviation building —
+        # the velocity runaway grows ~x1.55/frame from well under a
+        # degree, and an anchor engaged at 1-2 deg is still inside the
+        # anchor LM's convergence basin (at 4+ deg it no longer is:
+        # measured rdev 4.6->16.6 deg THROUGH the fallback when the
+        # anchor was strictly every-2nd). The device additionally
+        # forces the anchor whenever the motion path fails its gates.
+        s = getattr(self, "last_summary", None)
+        rot_building = s is not None and (
+            float(s[ts.S_ROT_DEV]) > 0.012  # ~0.7 deg
+        )
+        run_anchor = (
+            (fid % 2 == 0)
+            or (fid - self.last_kf_frame_id <= 1)
+            or rot_building
+        )
         result = ts.track_step(
             self.carry,
             self.dmap,
@@ -206,6 +249,8 @@ class Tracker:
             self._min_obs_dev[3 if self.map.n_keyframes > 2 else 2],
             self._ref_desc_bits,
             self._ref_angle,
+            self._local_ids_dev,
+            self._bool_dev[run_anchor],
             self.cam,
             self.cfg.orb.scale_factor,
             self.cfg.orb.n_levels,
@@ -316,6 +361,9 @@ class Tracker:
             )
 
         if summary[ts.S_OK] < 0.5:
+            # raw loss event (pre-relocalization): a later successful
+            # reloc rewrites the trajectory record but not this counter
+            self.raw_lost = getattr(self, "raw_lost", 0) + 1
             self.state = TrackingState.LOST
             self.trajectory.append(
                 FrameRecord(
@@ -346,7 +394,7 @@ class Tracker:
         if self._need_new_keyframe(summary, fid):
             self._create_new_keyframe(
                 ticket.frame, ticket.result, timestamp, fid,
-                stale=stale,
+                stale=stale, correction=ticket.correction,
             )
             self.kf_created = self.last_kf_id
             if self.mapper is None:
@@ -526,10 +574,25 @@ class Tracker:
         timestamp: float,
         fid: int,
         stale: bool = False,
+        correction: Optional[np.ndarray] = None,
     ) -> None:
         """ref: Tracking.cc:921-1031 CreateNewKeyFrame."""
+        xw = result.xw
+        if correction is not None:
+            # this frame's program ran in the PRE-correction world
+            # frame: Tcw_new = Tcw_old @ delta, so world points move by
+            # delta^-1 — without this, every point minted here lands
+            # metres off after a loop correction
+            delta_inv = jnp.asarray(
+                np.linalg.inv(correction.astype(np.float64)).astype(
+                    np.float32
+                )
+            )
+            from sivo_tpu.geometry import se3
+
+            xw = se3.transform(delta_inv, xw)
         self._insert_keyframe_device(
-            frame, result.sel_mask, result.xw, result.pt_idx,
+            frame, result.sel_mask, xw, result.pt_idx,
             timestamp, fid, self.last_pose, self.last_cov,
         )
         if not stale:
@@ -606,6 +669,7 @@ class Tracker:
                 "semantic": frame.semantic,
                 "pt_idx": combined_idx,
                 "new_ids": new_ids,
+                "sel": sel_mask,
                 "xw": xw,
             }
         )
@@ -620,6 +684,11 @@ class Tracker:
         self._ref_desc_bits = frame.desc_bits
         self._ref_angle = frame.angle
         self._ref_pt_idx = combined_idx
+        # local map: the new keyframe's points lead until the exact
+        # covisible set is recomputed at host-bookkeeping time
+        self._local_ids_dev = _merge_local_ids(
+            combined_idx, self._local_ids_dev
+        )
 
     def finish_kf_host(self, kf_idx: int) -> None:
         """Complete a keyframe's host bookkeeping from the async fetch:
@@ -649,6 +718,20 @@ class Tracker:
         self.map.kf_data[kf_idx] = data
         pt_ids_np = np.asarray(host["pt_idx"]).astype(np.int64)
         new_ids_np = np.asarray(host["new_ids"]).astype(np.int64)
+        # LOUD capacity overflow: the device add_points program drops
+        # writes past capacity (selected keypoint, no id assigned)
+        dropped = int(
+            (np.asarray(host["sel"]) & (new_ids_np < 0)).sum()
+        )
+        if dropped:
+            self.points_dropped = (
+                getattr(self, "points_dropped", 0) + dropped
+            )
+            print(
+                f"[map] WARNING: device point capacity full — dropped "
+                f"{dropped} new points at kf {kf_idx}",
+                flush=True,
+            )
         # mirror new points into the host store
         kp_new = np.where(new_ids_np >= 0)[0]
         if len(kp_new):
@@ -669,3 +752,22 @@ class Tracker:
                 kf_idx, pt_ids_np[kp_obs], kp_obs
             )
         self.map.update_spanning_tree(kf_idx)
+        if kf_idx == self.last_kf_id:
+            self.refresh_local_map(kf_idx)
+
+    def refresh_local_map(self, kf_idx: int) -> None:
+        """Recompute + upload the covisible local-map point ids around
+        ``kf_idx`` (ref: Tracking.cc:1087-1235 UpdateLocalMap)."""
+        ids = self.map.local_point_ids(kf_idx, ts.LOCAL_CAND)
+        if len(ids) == ts.LOCAL_CAND:
+            self.local_cap_binds += 1
+        pad = np.full(ts.LOCAL_CAND, -1, np.int32)
+        pad[: len(ids)] = ids
+        self._local_ids_dev = jnp.asarray(pad)
+
+    def refresh_local_map_latest(self) -> None:
+        """Refresh around the newest keyframe whose host bookkeeping is
+        complete (mapper hooks call this after creating points)."""
+        k = self.last_kf_id
+        if k >= 0 and self.map.kf_data[k] is not None:
+            self.refresh_local_map(k)
