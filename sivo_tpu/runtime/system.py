@@ -19,6 +19,7 @@ import numpy as np
 from sivo_tpu.config import SystemConfig
 from sivo_tpu.io import trajectory as traj_io
 from sivo_tpu.models import segnet as segnet_mod
+from sivo_tpu.runtime import compact as compact_mod
 from sivo_tpu.runtime import frame as frame_mod
 from sivo_tpu.runtime.map_state import MapState
 from sivo_tpu.runtime.mapping import LocalMapper
@@ -76,9 +77,17 @@ class System:
                 cam=self.tracker.cam,
                 voc=self.vocabulary,
             )
-            self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
+            self._wire_loop_closer()
         self._rng = jax.random.key(42)
         self._frame_no = 0
+
+    def _wire_loop_closer(self) -> None:
+        self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
+        self.mapper.kf_protected = lambda: {
+            k
+            for i, j, _ in self.loop_closer.loop_edges
+            for k in (i, j)
+        }
 
     def attach_vocabulary(self, voc) -> None:
         """Enable loop closing + relocalization with a vocabulary built
@@ -91,7 +100,7 @@ class System:
         self.loop_closer = LoopCloser(
             cfg=self.cfg, map=self.map, cam=self.tracker.cam, voc=voc,
         )
-        self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
+        self._wire_loop_closer()
 
     # -- per-frame API --------------------------------------------------------
 
@@ -147,6 +156,8 @@ class System:
                 if self.tracker.kf_created is not None:
                     self._on_keyframe(self.tracker.kf_created)
                 return pose
+            if compact_mod.should_compact(self):
+                self._compact()
             self.tracker.dispatch(f, timestamp)
             self._advance_mapping()
             if pipeline:
@@ -193,6 +204,12 @@ class System:
         tk = self.tracker.take_inflight()
         if tk is None:
             return None
+        # reloc gate (ref: Tracking.cc:271-272): the reference
+        # relocalizes only frames that ENTER Track() already LOST — the
+        # frame that just failed is recorded lost and tracking retries
+        # normally first. Relocalizing on every failed frame silently
+        # stitches map revisits, masking loop-closure events.
+        was_lost = self.tracker.state == TrackingState.LOST
         with self.timer.stage("track.retire"):
             pose = self.tracker.retire(tk)
         if (
@@ -200,7 +217,7 @@ class System:
             and not self.tracker.only_tracking
         ):
             self._on_keyframe(self.tracker.kf_created)
-        if pose is None:
+        if pose is None and was_lost:
             pose = self._relocalize(tk.frame, tk.timestamp)
         return pose
 
@@ -236,7 +253,36 @@ class System:
             pose = p if p is not None else pose
         done = self.mapper.drain(self.tracker)
         self._run_loop_closer(done, block=True)
+        # keyframes whose host bookkeeping fetch never got admitted by
+        # the mapper would leave map.kf_data[idx] = None — a latent
+        # AttributeError for any later consumer (save_map, ba_build)
+        for kf_idx in list(self.tracker._kf_host_pending):
+            self.tracker.finish_kf_host(kf_idx)
         return pose
+
+    def _compact(self) -> None:
+        """Reclaim culled point/keyframe slots (the reference frees
+        heap objects outright, MapPoint.cc:201-223 / Map.cc:103-121;
+        our SoA world slides live entries down instead — see
+        runtime/compact.py). Requires drained pipelines, so it flushes
+        first; triggered at most every few hundred keyframes."""
+        with self.timer.stage("compact"):
+            self.flush()
+            lc = self.loop_closer
+            if lc is not None and lc._gba is not None:
+                # an in-flight GBA holds pre-compaction ids
+                lc._gba_apply(self.tracker)
+            self.peak_point_slots = max(
+                getattr(self, "peak_point_slots", 0),
+                self.map.n_points,
+            )
+            self.peak_kf_slots = max(
+                getattr(self, "peak_kf_slots", 0),
+                self.map.n_keyframes,
+            )
+            stats = compact_mod.compact_map(self)
+        self.compactions = getattr(self, "compactions", 0) + 1
+        self.compact_freed = stats
 
     def activate_localization_mode(self) -> None:
         """Track against the frozen map without inserting keyframes
@@ -356,6 +402,15 @@ class System:
             tr.last_pose = pose
             tr.last_cov = cov
             tr.state = TrackingState.OK
+            # re-anchor the reference keyframe + local map at the
+            # reloc site (the pre-loss reference KF may be far away,
+            # leaving the brute-force anchor and the covisible local
+            # map matching against the wrong neighborhood)
+            tr.last_kf_id = cand
+            tr._ref_desc_bits = lc._kf_bits(cand, tr)
+            tr._ref_angle = jnp.asarray(d.angle)
+            tr._ref_pt_idx = jnp.asarray(pts.astype(np.int32))
+            tr.refresh_local_map(cand)
             tr.carry = tr.carry._replace(
                 pose=jnp.asarray(pose),
                 cov=jnp.asarray(cov),
@@ -380,7 +435,15 @@ class System:
 
         self.n_resets = getattr(self, "n_resets", 0) + 1
         self.map.clear()
+        old_count = self.tracker.frame_count
+        old_raw_lost = getattr(self.tracker, "raw_lost", 0)
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
+        # frame ids stay sequence-global across resets so trajectory
+        # records align with ground truth by frame_id (a fresh counter
+        # would silently compare the post-reset segment against the
+        # START of ground truth)
+        self.tracker.frame_count = old_count
+        self.tracker.raw_lost = old_raw_lost
         self.mapper = LocalMapper(
             cfg=self.cfg, map=self.map, cam=self.tracker.cam,
             timer=self.timer,
@@ -393,7 +456,7 @@ class System:
                 cfg=self.cfg, map=self.map,
                 cam=self.tracker.cam, voc=self.vocabulary,
             )
-            self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
+            self._wire_loop_closer()
 
     # -- shutdown / outputs ----------------------------------------------------
 
