@@ -207,35 +207,49 @@ def main() -> None:
     # long straights at 0.67 m/frame with brief ~4 deg/frame corners
     # (a continuous-yaw circle rotates the whole FOV out every ~23
     # frames and starves the map between keyframes).
-    n_frames = 190  # 160-frame lap + first-straight revisit
-    # outer=16: the facing wall stays >= 9.3m ahead everywhere on the
-    # path (at 13 it closes to 6m before each corner, and the ~40
-    # px/frame looming flow there breaks window matching)
+    import os
+
+    # endurance mode (SIVO_BENCH_LAPS=N > 1): drive the SAME circuit N
+    # laps + the revisit straight with a jitter-free (exactly periodic)
+    # trajectory, so one lap's rendered frames serve every lap — a
+    # KITTI-00-scale run (slot recycling, repeated loop closures,
+    # bounded capacities) without hours of host-side rendering.
+    laps = int(os.environ.get("SIVO_BENCH_LAPS", "1"))
+    LAP = 160
+    n_frames = LAP * laps + 30 if laps > 1 else 190
     world = synthetic.make_loop_world(
         cfg.camera, seed=0, outer=16.0, inner=6.0
     )
+    jitter = 0.0 if laps > 1 else 0.03
     gt = synthetic.square_loop_trajectory(
-        n_frames=n_frames, half=9.5, corner_r=3.5
+        n_frames=n_frames, half=9.5, corner_r=3.5, jitter=jitter
     )
+    n_render = LAP if laps > 1 else n_frames
     # render cache: the full-res circuit render costs minutes of host
     # time; keyed by the scene parameters so edits invalidate it
-    import os
-
+    ck_tag = "circuit-v8lap" if laps > 1 else "circuit-v7"
     cache_key = (
-        f"circuit-v7-{n_frames}-{cfg.camera.width}x{cfg.camera.height}"
+        f"{ck_tag}-{n_render}-{cfg.camera.width}x{cfg.camera.height}"
     )
     cache_path = f"/tmp/sivo_bench_render_{cache_key}.npz"
     if os.path.exists(cache_path):
         z = np.load(cache_path)
         left, right, clsmaps = z["left"], z["right"], z["cls"]
     else:
-        left, right, clsmaps = synthetic.render_sequence(world, gt, ss=2)
+        left, right, clsmaps = synthetic.render_sequence(
+            world, gt[:n_render], ss=2
+        )
         np.savez_compressed(
             cache_path,
             left=left.astype(np.uint8),
             right=right.astype(np.uint8),
             cls=clsmaps,
         )
+
+    def src(i: int) -> int:
+        """Rendered-frame index for sequence frame i (lap-periodic in
+        endurance mode)."""
+        return i % LAP if laps > 1 else i
     # uint8 grayscale uploads (channel broadcast happens on device):
     # the host->device link is the bottleneck
     left_color = left.astype(np.uint8)
@@ -269,31 +283,42 @@ def main() -> None:
         if i in built or i >= n_frames:
             return
         with system.timer.stage("build_frame"):
+            j = src(i)
             built[i] = frame_mod.build_frame(
                 system.model, system.segnet_params, system.statics,
-                jnp.asarray(left_color[i]),
-                jnp.asarray(right[i]),
+                jnp.asarray(left_color[j]),
+                jnp.asarray(right[j]),
                 jax.random.key(i),
                 sem_override=(
-                    jnp.asarray(sem_frames[i][0]),
-                    jnp.asarray(sem_frames[i][1]),
-                    jnp.asarray(sem_frames[i][2]),
+                    jnp.asarray(sem_frames[j][0]),
+                    jnp.asarray(sem_frames[j][1]),
+                    jnp.asarray(sem_frames[j][2]),
                     use_cnn,
                 ),
             )
 
-    # train a session vocabulary from a few outbound frames' ORB
-    # descriptors (the reference ships a pre-trained ORBvoc.txt, absent
-    # here; k^L = 8^3 words is plenty for one corridor)
-    voc_desc = []
-    for i in (0, n_frames // 4, n_frames // 2):
-        build(i)
-        f = built[i]
-        h = fetch_packed(
-            {"desc": f.desc_u8, "sem": f.semantic}
+    # train a session vocabulary on ORB descriptors sampled across the
+    # whole lap (the reference ships a ~1M-word pre-trained ORBvoc.txt,
+    # absent here). k=10/depth=4 (up to 10^4 words) — round 2's 512-word
+    # vocabulary scored every corridor view alike, starving loop
+    # detection's minScore gate of discrimination. Cached: k-medians
+    # over ~50k descriptors costs ~1 min of host time.
+    voc_cache = f"/tmp/sivo_bench_voc_{cache_key}.npz"
+    if os.path.exists(voc_cache):
+        voc = voc_mod.load_npz(voc_cache)
+    else:
+        voc_desc = []
+        for i in range(0, n_frames, max(n_frames // 8, 1)):
+            build(i)
+            f = built[i]
+            h = fetch_packed(
+                {"desc": f.desc_u8, "sem": f.semantic}
+            )
+            voc_desc.append(np.asarray(h["desc"])[np.asarray(h["sem"])])
+        voc = voc_mod.train(
+            np.concatenate(voc_desc), k=10, depth=4, seed=0
         )
-        voc_desc.append(np.asarray(h["desc"])[np.asarray(h["sem"])])
-    voc = voc_mod.train(np.concatenate(voc_desc), k=8, depth=3, seed=0)
+        voc_mod.save_npz(voc_cache, voc)
     system.attach_vocabulary(voc)
 
     def run_frame(i: int) -> None:
@@ -398,7 +423,10 @@ def main() -> None:
         "detail": {
             "frames": n_frames,
             "warmup": warm,
-            "lost": n_lost_all,
+            # raw loss events (pre-reloc); lost_final = records still
+            # lost after relocalization rewrites
+            "lost": getattr(system.tracker, "raw_lost", 0),
+            "lost_final": n_lost_all,
             "resets": n_resets,
             "reloc_attempts": getattr(system, "reloc_attempts", 0),
             "reloc_successes": getattr(system, "reloc_successes", 0),
@@ -410,6 +438,32 @@ def main() -> None:
             ),
             "loops_closed": loops,
             "ate_m": round(float(ate), 3),
+            "cap_binds": {
+                **system.mapper.cap_binds,
+                **(
+                    system.loop_closer.cap_binds
+                    if system.loop_closer is not None else {}
+                ),
+            },
+            "local_cap_binds": getattr(
+                system.tracker, "local_cap_binds", 0
+            ),
+            "points_dropped": getattr(
+                system.tracker, "points_dropped", 0
+            ),
+            "compactions": getattr(system, "compactions", 0),
+            "peak_point_slots": max(
+                int(system.map.n_points),
+                getattr(system, "peak_point_slots", 0),
+            ),
+            "peak_kf_slots": max(
+                int(system.map.n_keyframes),
+                getattr(system, "peak_kf_slots", 0),
+            ),
+            "loop_events": (
+                system.loop_closer.loop_events
+                if system.loop_closer is not None else []
+            ),
             "ms_per_frame": round(dt * 1000, 1),
             "tracking_only_fps": round(fps_tracking, 2),
             "stage_mean_ms": stage_ms,

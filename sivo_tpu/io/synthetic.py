@@ -251,6 +251,7 @@ def square_loop_trajectory(
     v_straight: float = 0.667,
     v_corner: float = 0.25,
     seed: int = 1,
+    jitter: float = 0.03,
 ) -> np.ndarray:
     """(F, 4, 4) Tcw drive of a rounded-square circuit inside a square
     ring world: four straights (length 2*(half-corner_r)) joined by
@@ -281,7 +282,9 @@ def square_loop_trajectory(
         poses.append(np.linalg.inv(Twc).astype(np.float32))
         v, dyaw = plan[i % len(plan)]
         i += 1
-        v *= 1.0 + 0.03 * rng.standard_normal()
+        # jitter=0 makes laps exactly periodic (endurance bench reuses
+        # one lap's rendered frames for every lap)
+        v *= 1.0 + jitter * rng.standard_normal()
         # mid-step heading: rotate half, step, rotate half (keeps the
         # arc on the circle instead of spiralling out)
         yaw += 0.5 * dyaw

@@ -293,6 +293,34 @@ def load_text(path: str) -> Vocabulary:
     return _assemble(k, depth, n, parents, bits, weights)
 
 
+def save_npz(path: str, voc: Vocabulary) -> None:
+    """Binary round-trip (session-vocabulary caching; the text format
+    exists for reference ORBvoc.txt compatibility, not speed)."""
+    np.savez_compressed(
+        path,
+        k=voc.k,
+        depth=voc.depth,
+        centroids=_pack_bits_np(np.asarray(voc.centroids)),
+        children=np.asarray(voc.children),
+        word_id=np.asarray(voc.word_id),
+        word_weights=np.asarray(voc.word_weights),
+        n_words=voc.n_words,
+    )
+
+
+def load_npz(path: str) -> Vocabulary:
+    z = np.load(path)
+    return Vocabulary(
+        k=int(z["k"]),
+        depth=int(z["depth"]),
+        centroids=jnp.asarray(_unpack_bits_np(z["centroids"])),
+        children=jnp.asarray(z["children"]),
+        word_id=jnp.asarray(z["word_id"]),
+        word_weights=jnp.asarray(z["word_weights"]),
+        n_words=int(z["n_words"]),
+    )
+
+
 def _assemble(k, depth, n, parents, bits, weights) -> Vocabulary:
     # node ids: 0 = root, line i -> node i+1; parent field is
     # 0 for root children else parent line index + 1

@@ -16,7 +16,10 @@ bookkeeping stays host-side at keyframe rate.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+
+_DEBUG_LOOP = bool(os.environ.get("SIVO_DEBUG_LOOP"))
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +51,10 @@ class LoopCloser:
     # constraint participates in every later essential-graph solve
     # (ref: KeyFrame.cc:448-457 AddLoopEdge + Optimizer.cc:1040-1056)
     loop_edges: list = field(default_factory=list)
+    # per-closure diagnostics for the bench (kf, cand, correction_m)
+    loop_events: list = field(default_factory=list)
+    # cap-bind counters (essential-graph edges, GBA window, fuse caps)
+    cap_binds: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.db is None:
@@ -165,8 +172,12 @@ class LoopCloser:
         """ref: LoopClosing.cc:111-240. Returns ALL candidates passing
         the 3-run covisibility-consistency test."""
         if kf_idx < self.last_loop_kf + self.cfg.loop.min_kfs_since_last_loop:
+            if _DEBUG_LOOP:
+                print(f"[loop kf={kf_idx}] gated: too close to last loop")
             return []
         if self.map.n_keyframes < 10:  # ref: :123 (10 KFs overall too)
+            if _DEBUG_LOOP:
+                print(f"[loop kf={kf_idx}] gated: <10 keyframes")
             return []
         covis = self.map.covisibility(kf_idx)
         connected = set(np.where(covis > 0)[0].tolist())
@@ -188,6 +199,22 @@ class LoopCloser:
             kf_idx, bow, min_score, connected,
             self._covis_groups(), voc_mod.l1_score,
         )
+        if _DEBUG_LOOP:
+            ex = set(connected) | {kf_idx}
+            counts = self.db._shared_word_counts(bow, ex)
+            scores = {
+                k: round(voc_mod.l1_score(bow, self.db.bow[k]), 3)
+                for k in sorted(
+                    counts, key=counts.get, reverse=True
+                )[:5]
+            }
+            print(
+                f"[loop kf={kf_idx}] n_db={len(self.db.bow)} "
+                f"excluded={len(ex)} min_score={min_score:.3f} "
+                f"max_shared={max(counts.values()) if counts else 0} "
+                f"top_scores={scores} cands={cands} "
+                f"runs={[c for _, c in self.consistent_groups][:8]}"
+            )
         if not cands:
             self.consistent_groups = []
             return []
@@ -207,6 +234,11 @@ class LoopCloser:
             if best_count >= self.cfg.loop.covisibility_consistency_th:
                 enough.append(c)
         self.consistent_groups = new_groups
+        if _DEBUG_LOOP and cands:
+            print(
+                f"[loop kf={kf_idx}] consistency runs="
+                f"{[c for _, c in new_groups]} -> passing={enough}"
+            )
         return enough
 
     def _compute_sim3(self, kf_idx: int, cand: int, tracker=None):
@@ -231,6 +263,11 @@ class LoopCloser:
             (i, int(j)) for i, j in enumerate(dst)
             if j >= 0 and pts1[i] >= 0 and pts2[j] >= 0
         ]
+        if _DEBUG_LOOP:
+            print(
+                f"[sim3 kf={kf_idx} cand={cand}] bf_pairs={len(pairs)}"
+                f" (need {self.cfg.loop.min_bow_matches})"
+            )
         if len(pairs) < self.cfg.loop.min_bow_matches:  # ref: :277
             return None
         n_cap = 256
@@ -266,6 +303,11 @@ class LoopCloser:
             fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
         )
         n_inl = int(jax.device_get(res.n_inliers))
+        if _DEBUG_LOOP:
+            print(
+                f"[sim3 kf={kf_idx} cand={cand}] ransac_inliers="
+                f"{n_inl} (need {self.cfg.loop.sim3_ransac_min_inliers})"
+            )
         if n_inl < self.cfg.loop.sim3_ransac_min_inliers:
             return None
         g12 = sim3.Sim3(
@@ -302,6 +344,11 @@ class LoopCloser:
         )
         m12_np = np.asarray(jax.device_get(m12))
         n_total = int((m12_np >= 0).sum())
+        if _DEBUG_LOOP:
+            print(
+                f"[sim3 kf={kf_idx} cand={cand}] guided_total="
+                f"{n_total} (need {self.cfg.loop.min_total_matches})"
+            )
         if max(n_total, n_inl) < self.cfg.loop.min_total_matches:
             return None
         return g12
@@ -378,6 +425,9 @@ class LoopCloser:
         self.loop_edges.append((kf_idx, cand, new_loop_T))
         E = len(edges_i)
         if E > E_cap:
+            self.cap_binds["essential_edges"] = (
+                self.cap_binds.get("essential_edges", 0) + 1
+            )
             edges_i, edges_j, meas = (
                 edges_i[-E_cap:], edges_j[-E_cap:], meas[-E_cap:]
             )
@@ -470,6 +520,24 @@ class LoopCloser:
         self._gba_dispatch(tracker, kf_idx, cand)
         # re-anchor the tracker on the corrected current keyframe
         # (ref: Tracking.cc:641-646 UpdateLastFrame semantics)
+        def _c(T):
+            T = T.astype(np.float64)
+            return -T[:3, :3].T @ T[:3, 3]
+
+        self.loop_events.append(
+            {
+                "kf": int(kf_idx),
+                "cand": int(cand),
+                "correction_m": round(
+                    float(
+                        np.linalg.norm(
+                            _c(m.kf_pose[kf_idx]) - _c(old_poses[kf_idx])
+                        )
+                    ),
+                    3,
+                ),
+            }
+        )
         tracker.apply_world_correction(
             old_poses[kf_idx], m.kf_pose[kf_idx]
         )
@@ -495,6 +563,10 @@ class LoopCloser:
         if len(loop_pts) == 0:
             return
         P_CAP = 2048
+        if len(loop_pts) > P_CAP:
+            self.cap_binds["fuse_loop_pts"] = (
+                self.cap_binds.get("fuse_loop_pts", 0) + 1
+            )
         loop_pts = loop_pts[:P_CAP]
         pad = np.zeros(P_CAP, np.int64)
         pad[: len(loop_pts)] = loop_pts
@@ -585,6 +657,9 @@ class LoopCloser:
         if K <= self.GBA_KF:
             kfs = list(range(K))
         else:
+            self.cap_binds["gba_window"] = (
+                self.cap_binds.get("gba_window", 0) + 1
+            )
             near = {kf_idx, cand}
             for c in (kf_idx, cand):
                 w = m.covisibility(c)

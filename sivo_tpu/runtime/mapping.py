@@ -9,9 +9,8 @@ frame).
 
 Pipeline per keyframe (ref: LocalMapping.cc:55-114): point culling,
 epipolar triangulation of new points (CreateNewMapPoints + the SIVO
-CheckSemantics gate), local BA, keyframe culling. Remaining gap vs the
-reference: SearchInNeighbors duplicate-point fusion
-(ref: LocalMapping.cc:547-637).
+CheckSemantics gate), SearchInNeighbors duplicate-point fusion
+(ref: LocalMapping.cc:547-637), local BA, keyframe culling.
 """
 
 from __future__ import annotations
@@ -176,6 +175,12 @@ class LocalMapper:
         # closer's inverted file (ref: KeyFrameDatabase.cc:49-65 erase
         # via KeyFrame::SetBadFlag)
         self.on_kf_culled = None
+        # () -> set[int]: keyframes that must not be culled (loop-edge
+        # holders, ref: KeyFrame.cc:459-476)
+        self.kf_protected = None
+        # cap-bind counters: incremented whenever a fixed capacity
+        # truncates real work (surfaced in the bench JSON detail)
+        self.cap_binds: dict[str, int] = {}
 
     @property
     def queue_len(self) -> int:
@@ -270,6 +275,9 @@ class LocalMapper:
                     self._fuse_apply(
                         tracker, kf_idx, p["ctx_fuse"], fetched
                     )
+            # triangulation/fusion changed the local point set: push
+            # the covisible id list the tracker matches against
+            tracker.refresh_local_map_latest()
             # local BA runs only when no newer keyframe is waiting —
             # the reference's exact interleave (LocalMapping.cc:80-88:
             # BA only if !CheckNewKeyFrames(), i.e. queued keyframes
@@ -297,8 +305,11 @@ class LocalMapper:
 
     def _fuse_dispatch(self, tracker, kf_idx: int, outs: dict):
         """SearchInNeighbors device phase (ref: LocalMapping.cc:547-637
-        + ORBmatcher Fuse :787-930): project the new keyframe's map
-        points into its covisible neighbors, batched."""
+        + ORBmatcher Fuse :787-930), both directions: the new
+        keyframe's map points projected into its covisible neighbors
+        (forward), and the neighbors' points projected into the new
+        keyframe (reverse, ref: LocalMapping.cc:586-627
+        vpFuseCandidates -> Fuse(mpCurrentKeyFrame, ...))."""
         m = self.map
         covis = m.covisibility(kf_idx)
         order = np.argsort(-covis)
@@ -310,6 +321,10 @@ class LocalMapper:
         if len(pt_ids) == 0:
             return
         P_CAP = 2048
+        if len(pt_ids) > P_CAP:
+            self.cap_binds["fuse_pts"] = (
+                self.cap_binds.get("fuse_pts", 0) + 1
+            )
         pt_ids = pt_ids[:P_CAP]
         pad = np.zeros(P_CAP, np.int64)
         pad[: len(pt_ids)] = pt_ids
@@ -341,7 +356,41 @@ class LocalMapper:
             self.cfg.orb.n_levels,
         )
         outs["fuse_src"] = src_all
-        return {"neighbors": neighbors, "pad": pad}
+
+        # reverse direction: fuse candidates are the neighbors' points
+        # not already observed by the new keyframe, newest-first (the
+        # reference iterates all of them; recency keeps the freshest
+        # geometry under the cap)
+        nb_pts = m.points_seen_by(np.asarray(neighbors, np.int64))
+        nb_pts = nb_pts[m.pt_valid[nb_pts]]
+        mine_set = np.zeros(m.max_points, bool)
+        mine_set[pt_ids] = True
+        nb_pts = nb_pts[~mine_set[nb_pts]]
+        pad_rev = None
+        if len(nb_pts) > 0:
+            if len(nb_pts) > P_CAP:
+                self.cap_binds["fuse_rev_pts"] = (
+                    self.cap_binds.get("fuse_rev_pts", 0) + 1
+                )
+                nb_pts = nb_pts[-P_CAP:]
+            pad_rev = np.zeros(P_CAP, np.int64)
+            pad_rev[: len(nb_pts)] = nb_pts
+            alive_rev = np.zeros(P_CAP, bool)
+            alive_rev[: len(nb_pts)] = True
+            # single-target variant (B=1): 1/10th the matching FLOPs
+            # of reusing the B=10 program shape
+            outs["fuse_rev_src"] = _fuse_gather_program(
+                tracker.dmap,
+                tracker.kf_store,
+                jnp.asarray(pad_rev.astype(np.int32)),
+                jnp.asarray(alive_rev),
+                jnp.asarray(np.asarray([kf_idx], np.int32)),
+                jnp.asarray(m.kf_pose[kf_idx][None]),
+                jnp.asarray(np.ones(1, bool)),
+                tracker.cam, self.cfg.orb.scale_factor,
+                self.cfg.orb.n_levels,
+            )
+        return {"neighbors": neighbors, "pad": pad, "pad_rev": pad_rev}
 
     def _fuse_apply(
         self, tracker, kf_idx: int, ctx: dict, fetched_all: dict
@@ -356,20 +405,21 @@ class LocalMapper:
         replaced: dict[int, int] = {}
         obs_counts = m.point_obs_counts()
         max_merges = 50  # bound the O(obs) Replace rewrites per KF
-        for nb, src_for_dst in zip(neighbors, fetched):
-            src = np.asarray(src_for_dst)
-            nb_pts = self._kf_point_ids(nb)
+
+        def fuse_into(target_kf: int, src: np.ndarray, pad_ids_):
+            """Merge projected candidates into one target keyframe."""
+            tgt_pts = self._kf_point_ids(target_kf)
             hit_kp = np.where(src >= 0)[0]
             if len(hit_kp) == 0:
-                continue
-            pid = pad[src[hit_kp]].astype(np.int64)
+                return
+            pid = pad_ids_[src[hit_kp]].astype(np.int64)
             ok = m.pt_valid[pid]
             hit_kp, pid = hit_kp[ok], pid[ok]
-            existing = nb_pts[hit_kp]
+            existing = tgt_pts[hit_kp]
             # free keypoints -> new cross observations (vectorized)
             free = existing < 0
             if free.any():
-                m.add_observations(nb, pid[free], hit_kp[free])
+                m.add_observations(target_kf, pid[free], hit_kp[free])
                 pad_ids = np.full(4096, -1, np.int32)
                 nsel = min(int(free.sum()), 4096)
                 pad_ids[:nsel] = pid[free][:4096]
@@ -380,6 +430,10 @@ class LocalMapper:
             conf = (~free) & (existing != pid) & m.pt_valid[
                 np.maximum(existing, 0)
             ]
+            if int(conf.sum()) > max_merges:
+                self.cap_binds["fuse_merges"] = (
+                    self.cap_binds.get("fuse_merges", 0) + 1
+                )
             for kp_i, p_i, e_i in zip(
                 hit_kp[conf][:max_merges],
                 pid[conf][:max_merges],
@@ -399,6 +453,17 @@ class LocalMapper:
                 )
                 m.replace_point(kill, keep)
                 replaced[kill] = keep
+
+        for nb, src_for_dst in zip(neighbors, fetched):
+            fuse_into(nb, np.asarray(src_for_dst), pad)
+        # reverse direction: neighbors' points into the new keyframe
+        # (ref: LocalMapping.cc:586-627)
+        if ctx.get("pad_rev") is not None and "fuse_rev_src" in fetched_all:
+            fuse_into(
+                kf_idx,
+                np.asarray(fetched_all["fuse_rev_src"])[0],
+                ctx["pad_rev"],
+            )
         if replaced:
             import os
             if os.environ.get("SIVO_DEBUG_CULL"):
@@ -568,8 +633,13 @@ class LocalMapper:
         for k in np.unique(obs[:, 0]):
             sel = obs[:, 0] == k
             obs_level[sel] = m.kf_data[k].level[obs[sel, 2]]
+        protected = self.kf_protected() if self.kf_protected else set()
         for k in np.where(covis > 0)[0]:
             if k == 0 or not m.kf_valid[k]:  # never cull the origin
+                continue
+            if int(k) in protected:
+                # keyframes holding loop edges are never erased
+                # (ref: KeyFrame.cc:459-476 SetErase/mspLoopEdges)
                 continue
             mine_sel = obs[:, 0] == k
             mine = obs[mine_sel]
@@ -654,16 +724,12 @@ class LocalMapper:
         age = kf_idx - first  # in keyframes
         in_list = (first < kf_idx) & (age <= 3)
         ratio_bad = (found / visible) < self.cfg.mapping.found_ratio_min
-        # Deliberate divergence: the reference kills at obs <= 3
-        # (LocalMapping.cc:186-187) because its bidirectional
-        # SearchInNeighbors fusion retroactively adds observations into
-        # up to 10 older keyframes, so healthy young points reach 4+
-        # fast. Our observation accrual is leaner (KF-insert + forward
-        # fusion), and the reference-exact threshold measurably kills
-        # every well-tracked young point at age 2 early in a sequence.
-        # obs < min_obs_stereo (i.e. <= 2) keeps points that were
-        # re-observed at least once after creation.
-        obs_bad = (age >= 2) & (obs < self.cfg.mapping.min_obs_stereo)
+        # reference-exact threshold (LocalMapping.cc:186-187, cnThObs=3
+        # for stereo): a point older than 2 keyframes with <= 3 total
+        # observations dies. Survivable now that SearchInNeighbors
+        # fusion runs BOTH directions — young points accrue cross
+        # observations into up to 10 older keyframes and from them.
+        obs_bad = (age >= 2) & (obs <= self.cfg.mapping.min_obs_stereo)
         kill = valid & in_list & (ratio_bad | obs_bad)
         kill_ids = np.where(kill)[0] + lo
         import os
@@ -700,6 +766,7 @@ class LocalMapper:
         if len(pt_ids) == 0:
             return
         if len(pt_ids) > MAX_BA_PT:
+            self.cap_binds["ba_pts"] = self.cap_binds.get("ba_pts", 0) + 1
             pt_ids = pt_ids[-MAX_BA_PT:]  # prefer recent points
         pt_set = set(pt_ids.tolist())
 
@@ -745,6 +812,9 @@ class LocalMapper:
         # Python loop over 16k rows costs ~100ms at keyframe rate)
         rows = obs[np.isin(obs[:, 0], kfs)]
         if len(rows) > MAX_BA_OBS:
+            self.cap_binds["ba_obs"] = (
+                self.cap_binds.get("ba_obs", 0) + 1
+            )
             rows = rows[-MAX_BA_OBS:]
         o = len(rows)
         obs_kf = np.zeros(MAX_BA_OBS, np.int32)
