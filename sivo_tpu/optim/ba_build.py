@@ -23,6 +23,7 @@ def build_problem(
     pt_cap: int,
     obs_cap: int,
     scale_factor: float,
+    o_chunk: int | None = None,
 ) -> tuple[BAProblem, dict] | None:
     """Assemble a padded BA problem over the given keyframes.
 
@@ -45,6 +46,41 @@ def build_problem(
     rows = obs[np.isin(obs[:, 0], kfs) & np.isin(obs[:, 1], pt_ids)]
     if len(rows) > obs_cap:
         rows = rows[-obs_cap:]
+    obs_mask = None
+    if o_chunk is not None:
+        # chunked-Schur layout: rows sorted by point with padding so no
+        # point's observation group spans an o_chunk boundary (see
+        # local_ba._lm_round_chunked); whole groups are dropped past
+        # obs_cap
+        pt_slot_tmp = np.zeros(m.max_points, np.int64)
+        pt_slot_tmp[pt_ids] = np.arange(len(pt_ids))
+        order = np.argsort(pt_slot_tmp[rows[:, 1]], kind="stable")
+        rows_s = rows[order]
+        pts_sorted = pt_slot_tmp[rows_s[:, 1]]
+        _, starts, counts = np.unique(
+            pts_sorted, return_index=True, return_counts=True
+        )
+        out_idx: list[int] = []
+        pos = 0
+        for st, g in zip(starts, counts):
+            g = int(g)
+            room = o_chunk - (pos % o_chunk)
+            if g > room and g <= o_chunk:
+                out_idx += [-1] * room
+                pos += room
+            if pos + g > obs_cap:
+                break
+            out_idx += list(range(st, st + g))
+            pos += g
+        idx = np.asarray(out_idx, np.int64)
+        # padding rows forward-fill the preceding real row so the
+        # point column stays sorted (they carry zero weight via the
+        # valid mask; a stray point id would split a real group)
+        last_real = np.maximum.accumulate(
+            np.where(idx >= 0, np.arange(len(idx)), 0)
+        )
+        rows = rows_s[idx[last_real]]
+        obs_mask = idx >= 0
     o = len(rows)
     if o == 0:
         return None
@@ -92,7 +128,7 @@ def build_problem(
             2.0 * data.level[kp].astype(np.float32)
         )
         obs_stereo[:o][sel] = ur > 0
-    obs_valid[:o] = True
+    obs_valid[:o] = True if obs_mask is None else obs_mask
 
     prob = BAProblem(
         kf_pose=jnp.asarray(poses),
@@ -113,6 +149,7 @@ def build_problem(
         "pt_ids": pt_ids,
         "rows": rows,
         "o": o,
+        "obs_mask": obs_mask,
     }
     return prob, ctx
 
@@ -139,6 +176,10 @@ def apply_solution(m, tracker, ctx, out: dict) -> None:
         jnp.asarray(np.asarray(out["pt_pos"], np.float32)),
     )
     inl = np.asarray(out["inlier"])[: ctx["o"]]
-    bad = ctx["rows"][~inl]
+    mask = ctx.get("obs_mask")
+    if mask is not None:
+        bad = ctx["rows"][mask & ~inl]
+    else:
+        bad = ctx["rows"][~inl]
     if len(bad):
         m.erase_observations(bad)

@@ -261,6 +261,235 @@ def _lm_round(
     return kf_pose, pt_pos, chi2, S_final
 
 
+def _lm_round_chunked(
+    kf_pose: jnp.ndarray,
+    pt_pos: jnp.ndarray,
+    prob: BAProblem,
+    active: jnp.ndarray,
+    cam: CameraParams,
+    use_huber: bool,
+    n_iters: int,
+    o_chunk: int,
+    lam0_scale: float = 1e-5,
+):
+    """LM stage with the Schur reduction accumulated by a lax.scan over
+    observation chunks instead of the dense (P, K, 6, 3) cross-block
+    buffer — the full-map scale path (ref: Optimizer.cc:39-271 runs
+    over EVERY keyframe and point; the dense buffer capped us at 64 KF
+    / 8k points). Requires observations sorted by point with no point
+    group spanning a chunk boundary (ba_build pads them so); a
+    boundary-spanning group degrades gracefully (its cross-chunk Schur
+    pairs are dropped — the point acts as two independent points).
+
+    Peak memory: O(o_chunk * K * 18) for the per-chunk cross blocks
+    (~19 MB at o_chunk=1024, K=256) instead of O(P * K * 18) (~600 MB).
+    """
+    K = prob.kf_pose.shape[0]
+    P = prob.pt_pos.shape[0]
+    O = prob.obs_kf.shape[0]
+    assert O % o_chunk == 0, "obs capacity must be a chunk multiple"
+    n_chunks = O // o_chunk
+    free_kf = prob.kf_valid & ~prob.kf_fixed
+
+    obs_kf_c = prob.obs_kf.reshape(n_chunks, o_chunk)
+    obs_pt_c = prob.obs_pt.reshape(n_chunks, o_chunk)
+
+    def _chunk_E(hcp_c, okf_c, opt_c):
+        """(OC,6,3) cross blocks -> (OC, K, 6, 3) per-point-slot E plus
+        the slot->point index map. Local slots come from a group
+        cumsum, so only as many slots as distinct points are used."""
+        newgrp = jnp.concatenate(
+            [jnp.ones(1, bool), opt_c[1:] != opt_c[:-1]]
+        )
+        lp = jnp.cumsum(newgrp) - 1
+        E_c = jnp.zeros((o_chunk, K, 6, 3)).at[lp, okf_c].add(hcp_c)
+        pts_local = jnp.zeros(o_chunk, jnp.int32).at[lp].set(opt_c)
+        return E_c, pts_local
+
+    def robust_chi2(kp, pp):
+        r, _, _, _ = _residuals(kp, pp, prob, cam)
+        chi2 = _chi2(r, prob)
+        if use_huber:
+            delta = jnp.where(
+                prob.obs_is_stereo, DELTA_STEREO, DELTA_MONO
+            )
+            s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            rho = jnp.where(
+                s <= delta, chi2, 2.0 * delta * s - delta * delta
+            )
+        else:
+            rho = chi2
+        return jnp.sum(jnp.where(active, rho, 0.0))
+
+    def build_and_solve(kp, pp, lam):
+        r, Jc, Jp, _ = _residuals(kp, pp, prob, cam)
+        chi2 = _chi2(r, prob)
+        if use_huber:
+            delta = jnp.where(
+                prob.obs_is_stereo, DELTA_STEREO, DELTA_MONO
+            )
+            s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            wh = jnp.where(s <= delta, 1.0, delta / s)
+        else:
+            wh = jnp.ones_like(chi2)
+        row_mask = jnp.concatenate(
+            [
+                jnp.ones((r.shape[0], 2), r.dtype),
+                prob.obs_is_stereo[:, None].astype(r.dtype),
+            ],
+            axis=-1,
+        )
+        w = (active.astype(r.dtype) * wh / prob.obs_sigma2)[:, None]
+        w = w * row_mask
+        Jc_w = Jc * w[..., None]
+        Jp_w = Jp * w[..., None]
+
+        Hcc = jnp.zeros((K, 6, 6)).at[prob.obs_kf].add(
+            jnp.einsum("oij,oik->ojk", Jc_w, Jc,
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+        Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+            jnp.einsum("oij,oik->ojk", Jp_w, Jp,
+                       precision=jax.lax.Precision.HIGHEST)
+        )
+        bc = jnp.zeros((K, 6)).at[prob.obs_kf].add(
+            -jnp.einsum("oij,oi->oj", Jc_w, r,
+                        precision=jax.lax.Precision.HIGHEST)
+        )
+        bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+            -jnp.einsum("oij,oi->oj", Jp_w, r,
+                        precision=jax.lax.Precision.HIGHEST)
+        )
+        Hcp = jnp.einsum("oij,oik->ojk", Jc_w, Jp,
+                         precision=jax.lax.Precision.HIGHEST)
+        Hcp_c = Hcp.reshape(n_chunks, o_chunk, 6, 3)
+
+        Hpp_d = Hpp + (lam * jnp.eye(3) + 1e-9 * jnp.eye(3))[None]
+        has_pt = (
+            jnp.zeros(P).at[prob.obs_pt].add(active.astype(jnp.float32))
+            > 0
+        ) & prob.pt_valid
+        Hpp_d = jnp.where(
+            has_pt[:, None, None], Hpp_d, jnp.eye(3)[None]
+        )
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+        def reduce_body(carry, inp):
+            S_red, b_corr = carry
+            hcp_c, okf_c, opt_c = inp
+            E_c, pts_local = _chunk_E(hcp_c, okf_c, opt_c)
+            Hinv_c = Hpp_inv[pts_local]
+            G_c = jnp.einsum("pkil,plm->pkim", E_c, Hinv_c,
+                             precision=jax.lax.Precision.HIGHEST)
+            G2 = G_c.reshape(o_chunk, K * 6, 3)
+            E2 = E_c.reshape(o_chunk, K * 6, 3)
+            S_red = S_red + jnp.einsum(
+                "pal,pbl->ab", G2, E2,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            b_corr = b_corr + jnp.einsum(
+                "pal,pl->a", G2, bp[pts_local],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (S_red, b_corr), None
+
+        (S_red, b_corr), _ = jax.lax.scan(
+            reduce_body,
+            (jnp.zeros((K * 6, K * 6)), jnp.zeros(K * 6)),
+            (Hcp_c, obs_kf_c, obs_pt_c),
+        )
+
+        Hcc_d = Hcc + lam * jnp.eye(6)[None]
+        idx = jnp.arange(K)
+        S = (-S_red).reshape(K, 6, K, 6)
+        S = S.at[idx, :, idx, :].add(Hcc_d)
+        S = S.reshape(K * 6, K * 6)
+        free6 = jnp.repeat(free_kf, 6)
+        mask2d = free6[:, None] & free6[None, :]
+        S = jnp.where(mask2d, S, 0.0)
+        S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+        b_red = jnp.where(free6, bc.reshape(-1) - b_corr, 0.0)
+        dc = jnp.linalg.solve(S, b_red).reshape(K, 6)
+
+        # back-substitution: Etd per point via a second chunk scan
+        def backsub_body(Etd_all, inp):
+            hcp_c, okf_c, opt_c = inp
+            E_c, pts_local = _chunk_E(hcp_c, okf_c, opt_c)
+            Etd = jnp.einsum("pkil,ki->pl", E_c, dc,
+                             precision=jax.lax.Precision.HIGHEST)
+            return Etd_all.at[pts_local].add(Etd), None
+
+        Etd_all, _ = jax.lax.scan(
+            backsub_body, jnp.zeros((P, 3)),
+            (Hcp_c, obs_kf_c, obs_pt_c),
+        )
+        dp = jnp.einsum("plm,pm->pl", Hpp_inv, bp - Etd_all,
+                        precision=jax.lax.Precision.HIGHEST)
+        dp = jnp.where(has_pt[:, None], dp, 0.0)
+
+        kp_new = jnp.where(
+            free_kf[:, None, None], hmat(se3.exp(dc), kp), kp
+        )
+        pp_new = jnp.where(prob.pt_valid[:, None], pp + dp, pp)
+        return kp_new, pp_new, S
+
+    r0, Jc0, _, _ = _residuals(kf_pose, pt_pos, prob, cam)
+    w0 = (active / prob.obs_sigma2)[:, None, None]
+    diag_max = jnp.maximum(
+        jnp.max(jnp.einsum("oij,oij->o", Jc0 * w0, Jc0)), 1.0
+    )
+    lam_init = lam0_scale * diag_max
+
+    def step(carry, _):
+        kp, pp, lam, best = carry
+        kp_new, pp_new, _ = build_and_solve(kp, pp, lam)
+        new_chi2 = robust_chi2(kp_new, pp_new)
+        improved = new_chi2 < best
+        kp = jnp.where(improved, kp_new, kp)
+        pp = jnp.where(improved, pp_new, pp)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        best = jnp.minimum(new_chi2, best)
+        return (kp, pp, lam, best), None
+
+    init = (kf_pose, pt_pos, lam_init, robust_chi2(kf_pose, pt_pos))
+    (kf_pose, pt_pos, lam, chi2), _ = jax.lax.scan(
+        step, init, None, length=n_iters
+    )
+    _, _, S_final = build_and_solve(kf_pose, pt_pos, 0.0)
+    return kf_pose, pt_pos, chi2, S_final
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "iterations", "o_chunk")
+)
+def global_bundle_adjustment_chunked(
+    prob: BAProblem,
+    cam: CameraParams,
+    iterations: int = 10,
+    o_chunk: int = 1024,
+) -> BAResult:
+    """Full-map BA at KITTI scale (ref: Optimizer.cc:39-271): the
+    chunked Schur path removes the 64-KF/8k-point window of the dense
+    solver. Observations must be point-sorted and boundary-padded
+    (ba_build.build_problem(..., o_chunk=...))."""
+    kp, pp, chi2_total, S = _lm_round_chunked(
+        prob.kf_pose, prob.pt_pos, prob, prob.obs_valid, cam,
+        use_huber=False, n_iters=iterations, o_chunk=o_chunk,
+    )
+    r, _, _, z = _residuals(kp, pp, prob, cam)
+    chi2 = _chi2(r, prob)
+    th = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier = prob.obs_valid & (chi2 <= th) & (z > 0)
+    Sinv = jnp.linalg.inv(S + 1e-9 * jnp.eye(S.shape[0]))
+    return BAResult(
+        kf_pose=kp,
+        pt_pos=pp,
+        obs_inlier=inlier,
+        newest_cov=Sinv[:6, :6],
+        chi2=chi2_total,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "iterations"))
 def global_bundle_adjustment(
     prob: BAProblem,
@@ -270,9 +499,8 @@ def global_bundle_adjustment(
     """Full-map BA (ref: Optimizer.cc:39-271 GlobalBundleAdjustment via
     LoopClosing::RunGlobalBundleAdjustment — 10 iterations, robust
     kernel OFF). Same Schur machinery as local BA; capacity bounded by
-    the dense (P, K, 6, 3) cross-block buffer, fine for the pose-graph-
-    corrected post-loop refinement at windowed scales (full KITTI-scale
-    chunked accumulation is a planned optimization)."""
+    the dense (P, K, 6, 3) cross-block buffer — small problems only;
+    ``global_bundle_adjustment_chunked`` is the full-map-scale path."""
     kp, pp, chi2_total, S = _lm_round(
         prob.kf_pose, prob.pt_pos, prob, prob.obs_valid, cam,
         use_huber=False, n_iters=iterations,

@@ -635,26 +635,35 @@ class LoopCloser:
                 tracker.dmap, jnp.asarray(kill_ids)
             )
 
-    # global BA caps: KFs by relevance, points recent-first
+    # global BA caps. Small maps use the dense Schur solver (one
+    # one-shot (P, K, 6, 3) cross buffer); beyond GBA_KF keyframes the
+    # CHUNKED solver takes over with full-map-scale caps
+    # (ref: Optimizer.cc:39-271 optimizes every KF + point).
     GBA_KF = 64
     GBA_PT = 8192
     GBA_OBS = 24576
+    GBA_KF_BIG = 256
+    GBA_PT_BIG = 32768
+    GBA_OBS_BIG = 98304  # 96 chunks of O_CHUNK
+    O_CHUNK = 1024
 
     def _gba_dispatch(self, tracker, kf_idx: int, cand: int) -> None:
         """Dispatch the post-loop full-map BA (ref: Optimizer.cc:39-271
         via LoopClosing.cc:663-765; 10 iterations, robust kernel off).
-        Above GBA_KF keyframes the problem is windowed to the loop's two
-        neighborhoods plus the most recent keyframes (the dense Schur
-        cross-block buffer bounds capacity; a chunked full-KITTI GBA is
-        a planned optimization). The fetch is asynchronous — the
-        solution applies in ``poll``, with corrections propagated to
-        keyframes/points created during the solve."""
+        Maps up to GBA_KF keyframes solve densely; larger maps go
+        through the chunked-Schur solver at GBA_*_BIG caps (windowed by
+        loop neighborhoods + recency only beyond THOSE — counted as a
+        cap bind). The fetch is asynchronous — the solution applies in
+        ``poll``, with corrections propagated to keyframes/points
+        created during the solve."""
         from sivo_tpu.optim import ba_build, local_ba
         from sivo_tpu.utils.fetch import fetch_packed_async
 
         m = self.map
         K = m.n_keyframes
-        if K <= self.GBA_KF:
+        chunked = K > self.GBA_KF
+        kf_cap = self.GBA_KF_BIG if chunked else self.GBA_KF
+        if K <= kf_cap:
             kfs = list(range(K))
         else:
             self.cap_binds["gba_window"] = (
@@ -667,21 +676,33 @@ class LoopCloser:
                     int(j) for j in np.argsort(-w)[:15] if w[j] > 0
                 )
             rest = [k for k in range(K - 1, -1, -1) if k not in near]
-            kfs = sorted(near) + rest[: self.GBA_KF - len(near)]
-        kfs = [k for k in kfs if m.kf_valid[k]][: self.GBA_KF]
+            kfs = sorted(near) + rest[: kf_cap - len(near)]
+        kfs = [k for k in kfs if m.kf_valid[k]][:kf_cap]
         if 0 not in kfs:
-            kfs = [0] + kfs[: self.GBA_KF - 1]
+            kfs = [0] + kfs[: kf_cap - 1]
         fixed = np.array([k == 0 for k in kfs], bool)  # ref: :114
-        built = ba_build.build_problem(
-            m, kfs, fixed, self.GBA_KF, self.GBA_PT, self.GBA_OBS,
-            self.cfg.orb.scale_factor,
-        )
+        if chunked:
+            built = ba_build.build_problem(
+                m, kfs, fixed, self.GBA_KF_BIG, self.GBA_PT_BIG,
+                self.GBA_OBS_BIG, self.cfg.orb.scale_factor,
+                o_chunk=self.O_CHUNK,
+            )
+        else:
+            built = ba_build.build_problem(
+                m, kfs, fixed, self.GBA_KF, self.GBA_PT, self.GBA_OBS,
+                self.cfg.orb.scale_factor,
+            )
         if built is None:
             return
         prob, ctx = built
-        res = local_ba.global_bundle_adjustment(
-            prob, self.cam, iterations=10
-        )
+        if chunked:
+            res = local_ba.global_bundle_adjustment_chunked(
+                prob, self.cam, iterations=10, o_chunk=self.O_CHUNK
+            )
+        else:
+            res = local_ba.global_bundle_adjustment(
+                prob, self.cam, iterations=10
+            )
         # a newer closure's GBA supersedes an unapplied one
         # (ref: mnFullBAIdx, LoopClosing.cc:413-424, 674-678)
         self._gba = {

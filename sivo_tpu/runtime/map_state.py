@@ -305,6 +305,28 @@ class MapState:
             np.add.at(counts, obs[:, 1], 1)
         return counts
 
+    def point_obs_counts_weighted(self) -> np.ndarray:
+        """Reference-weighted observation counts: a STEREO observation
+        counts 2, mono counts 1 (ref: MapPoint.cc:155-161
+        AddObservation — nObs += 2 when mvuRight[idx] >= 0). The cull
+        thresholds (LocalMapping.cc:186-187, MapPoint.cc:181) are
+        calibrated against THIS count; comparing them to a plain
+        keyframe count demands twice the re-observations and
+        measurably massacres the young map."""
+        counts = np.zeros(self.max_points, np.int32)
+        obs = self.observations()
+        if len(obs) == 0:
+            return counts
+        w = np.ones(len(obs), np.int32)
+        for k in np.unique(obs[:, 0]):
+            d = self.kf_data[k]
+            if d is None:
+                continue
+            sel = obs[:, 0] == k
+            w[sel] += (d.u_right[obs[sel, 2]] > 0).astype(np.int32)
+        np.add.at(counts, obs[:, 1], w)
+        return counts
+
     def covisibility_matrix(self) -> "np.ndarray":
         """(K, K) shared-point counts (ref: KeyFrame.cc:327-415
         UpdateConnections), cached per observation-table version and

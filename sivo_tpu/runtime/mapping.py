@@ -663,6 +663,13 @@ class LocalMapper:
             if n_redundant > self.cfg.mapping.kf_cull_redundancy * len(
                 mine
             ):
+                import os
+                if os.environ.get("SIVO_DEBUG_CULL"):
+                    print(
+                        f"    [cull_kf] culled kf={k} "
+                        f"({n_redundant}/{len(mine)} redundant)",
+                        flush=True,
+                    )
                 m.kf_valid[k] = False
                 m._obs_dirty = True
                 if self.on_kf_culled is not None:
@@ -718,17 +725,17 @@ class LocalMapper:
             np.asarray(fetched["cull_visible"])[:w].astype(np.float32),
             1.0,
         )
-        obs = m.point_obs_counts()[lo:n]
+        obs = m.point_obs_counts_weighted()[lo:n]
         valid = np.asarray(fetched["cull_valid"])[:w]
         first = m.pt_first_kf[lo:n]
         age = kf_idx - first  # in keyframes
         in_list = (first < kf_idx) & (age <= 3)
         ratio_bad = (found / visible) < self.cfg.mapping.found_ratio_min
         # reference-exact threshold (LocalMapping.cc:186-187, cnThObs=3
-        # for stereo): a point older than 2 keyframes with <= 3 total
-        # observations dies. Survivable now that SearchInNeighbors
-        # fusion runs BOTH directions — young points accrue cross
-        # observations into up to 10 older keyframes and from them.
+        # for stereo) against the reference-WEIGHTED count (stereo
+        # observation = 2): a stereo point observed by >= 2 keyframes
+        # survives. Survivable with bidirectional SearchInNeighbors
+        # fusion accruing cross observations.
         obs_bad = (age >= 2) & (obs <= self.cfg.mapping.min_obs_stereo)
         kill = valid & in_list & (ratio_bad | obs_bad)
         kill_ids = np.where(kill)[0] + lo

@@ -152,3 +152,75 @@ def test_ba_marginal_covariance_sane():
     assert (ev > 0).all()
     # hundreds of stereo observations pin the pose to sub-mm/sub-mrad
     assert np.trace(cov) < 1e-3, np.trace(cov)
+
+
+def _sort_pad_for_chunks(prob, o_chunk):
+    """Point-sort + boundary-pad a BAProblem's observations (the layout
+    ba_build.build_problem(o_chunk=...) produces)."""
+    O = prob.obs_kf.shape[0]
+    kf = np.asarray(prob.obs_kf)
+    pt = np.asarray(prob.obs_pt)
+    uvr = np.asarray(prob.obs_uvr)
+    st = np.asarray(prob.obs_is_stereo)
+    s2 = np.asarray(prob.obs_sigma2)
+    valid = np.asarray(prob.obs_valid)
+    real = np.where(valid)[0]
+    order = real[np.argsort(pt[real], kind="stable")]
+    out = {k: np.zeros_like(v) for k, v in
+           dict(kf=kf, pt=pt, uvr=uvr, st=st, s2=s2).items()}
+    ovalid = np.zeros(O, bool)
+    pos = 0
+    i = 0
+    while i < len(order) and pos < O:
+        j = i
+        while j < len(order) and pt[order[j]] == pt[order[i]]:
+            j += 1
+        g = j - i
+        room = o_chunk - (pos % o_chunk)
+        if g > room and g <= o_chunk:
+            # pad with copies of the previous row (invalid)
+            for arr, src_arr in (("kf", kf), ("pt", pt), ("uvr", uvr),
+                                 ("st", st), ("s2", s2)):
+                out[arr][pos:pos + room] = src_arr[order[i - 1]]
+            pos += room
+        if pos + g > O:
+            break
+        sel = order[i:j]
+        for arr, src_arr in (("kf", kf), ("pt", pt), ("uvr", uvr),
+                             ("st", st), ("s2", s2)):
+            out[arr][pos:pos + g] = src_arr[sel]
+        ovalid[pos:pos + g] = True
+        pos += g
+        i = j
+    out["s2"][~ovalid] = 1.0
+    return prob._replace(
+        obs_kf=jnp.asarray(out["kf"]),
+        obs_pt=jnp.asarray(out["pt"]),
+        obs_uvr=jnp.asarray(out["uvr"]),
+        obs_is_stereo=jnp.asarray(out["st"]),
+        obs_sigma2=jnp.asarray(out["s2"]),
+        obs_valid=jnp.asarray(ovalid),
+    )
+
+
+def test_gba_chunked_matches_dense():
+    """The chunked-Schur full-map solver (Optimizer.cc:39-271 scale
+    path) must agree with the dense solver on the same problem."""
+    prob, gt_poses, gt_pts, _ = make_problem(noise=0.1)
+    dense = local_ba.global_bundle_adjustment(prob, CAM, iterations=8)
+    sorted_prob = _sort_pad_for_chunks(prob, o_chunk=1024)
+    chunked = local_ba.global_bundle_adjustment_chunked(
+        prob=sorted_prob, cam=CAM, iterations=8, o_chunk=1024
+    )
+    # both must recover ground truth
+    errs_d = pose_errors(np.asarray(dense.kf_pose), gt_poses)
+    errs_c = pose_errors(np.asarray(chunked.kf_pose), gt_poses)
+    assert errs_d.max() < 5e-3, errs_d
+    assert errs_c.max() < 5e-3, errs_c
+    # and each other (same solve, different accumulation order)
+    np.testing.assert_allclose(
+        np.asarray(chunked.kf_pose), np.asarray(dense.kf_pose),
+        atol=2e-4,
+    )
+    pt_err = np.linalg.norm(np.asarray(chunked.pt_pos) - gt_pts, axis=-1)
+    assert np.median(pt_err) < 0.05, np.median(pt_err)
