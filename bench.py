@@ -174,29 +174,29 @@ def main() -> None:
     from sivo_tpu.runtime.system import System
     from sivo_tpu.utils.fetch import fetch_packed
 
+    import os as _os
+
+    # SIVO_BENCH_SEQ=1: the PAPER's sequential selection semantics at
+    # the reference's 4.0-bit gate (arXiv 1811.11946 §III-B) — the
+    # greedy Kalman-shrink walk, with the supply floor as the only
+    # concession to the circuit's yaw-driven attrition. Default: the
+    # reference-BINARY batch semantics (the binary implements the
+    # sequential shrink but never calls it, sivo_helpers.cpp:221-240).
+    seq_mode = bool(int(_os.environ.get("SIVO_BENCH_SEQ", "0")))
     cfg = SystemConfig()  # KITTI03 defaults: 1024x352, fx=721.5, 2000 feats
     cfg = dataclasses.replace(
         cfg,
         semantic=dataclasses.replace(
             cfg.semantic,
-            # 3.0 bits (reference default 4.0): each keyframe minting
-            # 500+ points dilutes the old map's anchoring — fresh
-            # points encode the creation pose, so orientation creeps
-            # between BA solves; a higher bar keeps the old:new balance
-            # while the 128-point floor still guarantees supply
-            th_entropy_reduction=3.0,
-            # reference-BINARY selection semantics: batch scoring
-            # against the static per-frame covariance (the binary
-            # implements the paper's sequential Kalman shrink but
-            # never calls it, sivo_helpers.cpp:221-240). The circuit's
-            # 3 deg/frame yaw rotates the full FOV out in ~23 frames;
-            # sequential selection's ~32 points/KF at 10-frame KF
-            # cadence cannot cover that attrition (measured: tracked
-            # decays 730 -> 0 by f=19 and the session resets), while
-            # batch selection + the 128-point supply floor keeps the
-            # map dense through the turn.
-            sequential_selection=False,
-            seq_min_select=128,
+            # batch mode: 3.0 bits (reference default 4.0): each
+            # keyframe minting 500+ points dilutes the old map's
+            # anchoring — fresh points encode the creation pose, so
+            # orientation creeps between BA solves; a higher bar keeps
+            # the old:new balance while the 128-point floor still
+            # guarantees supply. Sequential mode uses the paper's 4.0.
+            th_entropy_reduction=4.0 if seq_mode else 3.0,
+            sequential_selection=seq_mode,
+            seq_min_select=64 if seq_mode else 128,
         ),
     )
     # circuit: a square-ring corridor driven for one lap plus a
@@ -416,7 +416,10 @@ def main() -> None:
         for name in system.timer.totals
     }
     result = {
-        "metric": "kitti_geometry_sivo_fps",
+        "metric": (
+            "kitti_geometry_sivo_seq_fps"
+            if seq_mode else "kitti_geometry_sivo_fps"
+        ),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10.0, 3),
@@ -447,6 +450,9 @@ def main() -> None:
             },
             "local_cap_binds": getattr(
                 system.tracker, "local_cap_binds", 0
+            ),
+            "sel_cap_binds": getattr(
+                system.tracker, "sel_cap_binds", 0
             ),
             "points_dropped": getattr(
                 system.tracker, "points_dropped", 0

@@ -95,6 +95,7 @@ S_MOT_INL = 64
 S_MOT_DEV = 65  # metres between stage-1 optimum and the prediction
 S_ROT_DEV = 66  # radians between stage-1 optimum and the prediction
 S_ROT_DEV_S1 = 67  # same for the TAKEN stage-1 branch (motion/fallback)
+S_SEL_CAP_BIND = 68  # 1.0 when selection candidates exceeded SEL_CAP
 SUMMARY_LEN = 72
 
 
@@ -537,7 +538,17 @@ def track_step(
         )
     )
     min_inl = jnp.where(anchor_override, 20, 30)
-    ok = (ok1 & (inl_sel >= min_inl) & refine_ok) | rescue
+    # Lost-state recovery: with no velocity the stage-1 gates cannot
+    # pass unless the anchor clears its >=15-match bar against a
+    # possibly-rotated-away reference view — measured: a corner-apex
+    # loss left 120 frames at 8-14 anchor matches while the LOCAL-MAP
+    # stage kept finding 80-130 inliers around the frozen pose. Those
+    # inliers are map-consistent evidence of the true pose; accept
+    # them under a stricter bar. (The reference has only
+    # relocalization here, Tracking.cc:271-278; this is the same
+    # machinery at tracking rate.)
+    lost_rescue = ~carry.has_velocity & (inl_sel >= 60)
+    ok = (ok1 & (inl_sel >= min_inl) & refine_ok) | rescue | lost_rescue
     T_final = jnp.where(ok, T_sel, carry.pose)
     cov_final = jnp.where(ok, cov_sel, cov_pred)
     pt_idx_f = jnp.where(ok, pt_idx_f, -1)
@@ -714,6 +725,9 @@ def track_step(
     )
     summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
     summary = summary.at[S_MOT_DEV].set(accel_dev)
+    summary = summary.at[S_SEL_CAP_BIND].set(
+        (jnp.sum(candidate) > info_ops.SEL_CAP).astype(jnp.float32)
+    )
     summary = summary.at[S_ROT_DEV].set(rot_dev1)
     summary = summary.at[S_ROT_DEV_S1].set(rot_dev_s1)
     summary = summary.at[S_N_SELECTED].set(

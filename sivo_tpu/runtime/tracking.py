@@ -360,6 +360,8 @@ class Tracker:
                 flush=True,
             )
 
+        if summary[ts.S_SEL_CAP_BIND] > 0.5:
+            self.sel_cap_binds = getattr(self, "sel_cap_binds", 0) + 1
         if summary[ts.S_OK] < 0.5:
             # raw loss event (pre-relocalization): a later successful
             # reloc rewrites the trajectory record but not this counter
