@@ -78,6 +78,23 @@ def _warm_loop_programs(system) -> None:
     pfin = pose_lm.optimize_pose(jnp.eye(4), pobs, cam)
     _ = jax.device_get(pfin.n_inliers)
 
+    # reloc projection round (system._reloc_project_program)
+    from sivo_tpu.runtime import track_step as ts_mod
+
+    tr = system.tracker
+    _ = jax.device_get(
+        system._reloc_project_program(
+            tr.dmap,
+            jnp.full(ts_mod.LOCAL_CAND, -1, jnp.int32),
+            jnp.eye(4),
+            jnp.zeros((N, 2)), jnp.zeros(N, jnp.int32),
+            jnp.zeros((N, 256)), jnp.full(N, -1.0),
+            jnp.zeros(N, bool),
+            jnp.float32(10.0),
+            cam, cfg.orb.scale_factor, cfg.orb.n_levels,
+        )
+    )
+
     scales = jnp.asarray(
         cfg.orb.scale_factor
         ** np.arange(cfg.orb.n_levels, dtype=np.float32)
@@ -227,7 +244,7 @@ def main() -> None:
     n_render = LAP if laps > 1 else n_frames
     # render cache: the full-res circuit render costs minutes of host
     # time; keyed by the scene parameters so edits invalidate it
-    ck_tag = "circuit-v8lap" if laps > 1 else "circuit-v7"
+    ck_tag = "circuit-v9lap" if laps > 1 else "circuit-v9"
     cache_key = (
         f"{ck_tag}-{n_render}-{cfg.camera.width}x{cfg.camera.height}"
     )
@@ -363,6 +380,16 @@ def main() -> None:
     )
     ok_ids = rec_ids[rec_ids < len(gt)]
     ate = synthetic.ate_rmse(est[: len(ok_ids)], gt[ok_ids])
+    traj_out = os.environ.get("SIVO_BENCH_SAVE_TRAJ")
+    if traj_out:
+        lost_mask = np.array(
+            [r.lost for r in system.tracker.trajectory], bool
+        )
+        np.savez(
+            traj_out, est=est, gt=gt, rec_ids=rec_ids,
+            lost=lost_mask,
+            kf_pose=system.map.kf_pose[: system.map.n_keyframes],
+        )
     n_resets = getattr(system, "n_resets", 0)
     frames_tracked = len(ok_ids)
     n_lost_all = sum(

@@ -221,10 +221,15 @@ def make_loop_world(
     for k in range(48):
         side = k % 4  # which side of the ring
         t = -1.0 + 2.0 * ((k // 4) + rng.uniform(0.2, 0.8)) / 12.0
-        along = t * (A - 1.0)
         # alternate: hugging the outer wall (facing inward) or the
         # inner block (facing outward) — both well clear of the path
         near_outer = (k % 2) == 0
+        # inner pillars stay on the BLOCK's faces (|along| < B): the
+        # old t*(A-1) span let them float in the corridor, and two sat
+        # ON the drive path — the camera passed within ~0.5 m, the
+        # whole view became one blurred close-up with ZERO FAST
+        # keypoints, and tracking blacked out at those corner apexes
+        along = t * ((A - 1.0) if near_outer else (B - 1.0))
         off = rng.uniform(0.4, 1.2)
         d = (A - off) if near_outer else (B + off)
         fx_, fz_ = (-1.0, 0.0) if near_outer else (1.0, 0.0)

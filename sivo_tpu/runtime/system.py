@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from sivo_tpu.config import SystemConfig
 from sivo_tpu.io import trajectory as traj_io
 from sivo_tpu.models import segnet as segnet_mod
@@ -371,6 +373,41 @@ class System:
                 if dbg:
                     print("  [reloc] pnp rejected", flush=True)
                 continue
+            # projection round (ref: Tracking.cc:1342-1385): grow the
+            # match set by projecting the candidate's covisible local
+            # map at the PnP pose — brute-force matches alone rarely
+            # reach the 50-inlier accept (measured 124 failed attempts
+            # in one run without this)
+            from sivo_tpu.runtime import track_step as ts_mod
+
+            ids = self.map.local_point_ids(cand, ts_mod.LOCAL_CAND)
+            pad = np.full(ts_mod.LOCAL_CAND, -1, np.int32)
+            pad[: len(ids)] = ids
+            tr = self.tracker
+            proj_idx = np.asarray(
+                jax.device_get(
+                    self._reloc_project_program(
+                        tr.dmap, jnp.asarray(pad), res.pose,
+                        f.xy, f.level, f.desc_bits, f.u_right,
+                        f.semantic,
+                        jnp.float32(10.0),  # ref window th=10
+                        tr.cam, self.cfg.orb.scale_factor,
+                        self.cfg.orb.n_levels,
+                    )
+                )
+            )
+            merged = pt_ids.copy()
+            fill = (merged < 0) & (proj_idx >= 0)
+            merged[fill] = proj_idx[fill]
+            pt_ids = merged
+            has = pt_ids >= 0
+            pw = np.zeros((f.capacity, 3), np.float32)
+            pw[has] = self.map.pt_pos[pt_ids[has]]
+            if dbg:
+                print(
+                    f"  [reloc] +projection matches={int(has.sum())}",
+                    flush=True,
+                )
             # final polish with stereo observations + accept at >= 50
             # inliers (ref: Tracking.cc:1342-1385)
             obs = pose_lm.PoseObservations(
@@ -427,6 +464,58 @@ class System:
                 tr.trajectory[-1].lost = False
             return pose
         return None
+
+    @staticmethod
+    @functools.partial(
+        jax.jit, static_argnames=("cam", "scale_factor", "n_levels")
+    )
+    def _reloc_project_program(
+        dmap,
+        local_ids,  # (LOCAL_CAND,) int32
+        pose,  # (4, 4) PnP estimate
+        frame_xy, frame_level, frame_desc_bits, frame_u_right,
+        frame_sem,
+        th,  # () search radius multiplier
+        cam, scale_factor: float, n_levels: int,
+    ):
+        """Relocalization projection round (ref: Tracking.cc:1342-1385
+        — SearchByProjection around the PnP pose to grow the match set
+        toward the 50-inlier accept; brute-force matches alone rarely
+        reach it). Returns (N,) point id per keypoint or -1."""
+        from sivo_tpu.geometry.projection import (
+            frustum_check, predict_scale,
+        )
+        from sivo_tpu.ops import matching
+        from sivo_tpu.runtime.device_map import unpack_bits
+
+        scales = scale_factor ** jnp.arange(
+            n_levels, dtype=jnp.float32
+        )
+        cand = jnp.clip(local_ids, 0, dmap.capacity - 1)
+        visible, uvr, dist, view_cos = frustum_check(
+            cam, pose, dmap.pt_pos[cand], dmap.pt_normal[cand],
+            dmap.pt_min_dist[cand], dmap.pt_max_dist[cand],
+        )
+        cand_visible = (
+            visible & (local_ids >= 0) & dmap.pt_valid[cand]
+        )
+        lvl = predict_scale(
+            dist, dmap.pt_max_dist[cand] / 1.2, scale_factor, n_levels
+        )
+        mres = matching.search_by_projection_points(
+            unpack_bits(dmap.pt_desc_u8[cand]), cand_visible, uvr,
+            lvl, view_cos,
+            frame_xy, frame_level, frame_desc_bits, frame_u_right,
+            frame_sem, scales, th=th, nn_ratio=0.8,
+        )
+        hit = mres.src_for_dst >= 0
+        return jnp.where(
+            hit,
+            cand[
+                jnp.clip(mres.src_for_dst, 0, cand.shape[0] - 1)
+            ].astype(jnp.int32),
+            -1,
+        )
 
     def reset(self) -> None:
         """Full session reset (ref: Tracking.cc:1398-1435 +
