@@ -182,6 +182,32 @@ def _warm_loop_programs(system) -> None:
         }
     )
 
+    # chunked full-map GBA (the path taken once the map outgrows the
+    # dense caps — the bench map does by the first loop closure)
+    cprob = local_ba.BAProblem(
+        kf_pose=jnp.tile(jnp.eye(4), (lc.GBA_KF_BIG, 1, 1)),
+        kf_fixed=jnp.zeros(lc.GBA_KF_BIG, bool).at[0].set(True),
+        kf_valid=jnp.zeros(lc.GBA_KF_BIG, bool).at[:2].set(True),
+        pt_pos=jnp.zeros((lc.GBA_PT_BIG, 3)),
+        pt_valid=jnp.zeros(lc.GBA_PT_BIG, bool),
+        obs_kf=jnp.zeros(lc.GBA_OBS_BIG, jnp.int32),
+        obs_pt=jnp.zeros(lc.GBA_OBS_BIG, jnp.int32),
+        obs_uvr=jnp.zeros((lc.GBA_OBS_BIG, 3)),
+        obs_sigma2=jnp.ones(lc.GBA_OBS_BIG),
+        obs_is_stereo=jnp.zeros(lc.GBA_OBS_BIG, bool),
+        obs_valid=jnp.zeros(lc.GBA_OBS_BIG, bool),
+    )
+    cres = local_ba.global_bundle_adjustment_chunked(
+        cprob, cam, iterations=10, o_chunk=lc.O_CHUNK
+    )
+    _ = fetch_packed(
+        {
+            "kf_pose": cres.kf_pose,
+            "pt_pos": cres.pt_pos,
+            "inlier": cres.obs_inlier,
+        }
+    )
+
 
 def main() -> None:
     from sivo_tpu.config import SystemConfig

@@ -39,11 +39,13 @@ def build_problem(
     pt_ids = m.points_seen_by(np.asarray(kfs, np.int64))
     if len(pt_ids) == 0 or len(kfs) < 2:
         return None
+    truncated_pts = max(0, len(pt_ids) - pt_cap)
     if len(pt_ids) > pt_cap:
         pt_ids = pt_ids[-pt_cap:]  # prefer recent points
 
     obs = m.observations()
     rows = obs[np.isin(obs[:, 0], kfs) & np.isin(obs[:, 1], pt_ids)]
+    truncated_obs = max(0, len(rows) - obs_cap)
     if len(rows) > obs_cap:
         rows = rows[-obs_cap:]
     obs_mask = None
@@ -81,6 +83,7 @@ def build_problem(
         )
         rows = rows_s[idx[last_real]]
         obs_mask = idx >= 0
+        truncated_obs += int(len(rows_s) - obs_mask.sum())
     o = len(rows)
     if o == 0:
         return None
@@ -150,6 +153,8 @@ def build_problem(
         "rows": rows,
         "o": o,
         "obs_mask": obs_mask,
+        "truncated_obs": truncated_obs,
+        "truncated_pts": truncated_pts,
     }
     return prob, ctx
 

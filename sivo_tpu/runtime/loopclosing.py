@@ -661,7 +661,18 @@ class LoopCloser:
 
         m = self.map
         K = m.n_keyframes
-        chunked = K > self.GBA_KF
+        # dense path ONLY when the whole problem fits its caps: a
+        # truncated observation set leaves the truncated keyframes
+        # unconstrained and GBA scatters them (measured: adjacent
+        # first-corner KFs 5 m apart after a 37k-obs map was silently
+        # cut to the most recent 24576 rows)
+        n_obs_all = len(m.observations())
+        n_pts_all = int(m.pt_valid[: m.n_points].sum())
+        chunked = (
+            K > self.GBA_KF
+            or n_obs_all > self.GBA_OBS
+            or n_pts_all > self.GBA_PT
+        )
         kf_cap = self.GBA_KF_BIG if chunked else self.GBA_KF
         if K <= kf_cap:
             kfs = list(range(K))
@@ -695,6 +706,10 @@ class LoopCloser:
         if built is None:
             return
         prob, ctx = built
+        if ctx.get("truncated_obs") or ctx.get("truncated_pts"):
+            self.cap_binds["gba_truncated"] = (
+                self.cap_binds.get("gba_truncated", 0) + 1
+            )
         if chunked:
             res = local_ba.global_bundle_adjustment_chunked(
                 prob, self.cam, iterations=10, o_chunk=self.O_CHUNK
