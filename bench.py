@@ -270,7 +270,7 @@ def main() -> None:
     n_render = LAP if laps > 1 else n_frames
     # render cache: the full-res circuit render costs minutes of host
     # time; keyed by the scene parameters so edits invalidate it
-    ck_tag = "circuit-v9lap" if laps > 1 else "circuit-v9"
+    ck_tag = "circuit-v10lap" if laps > 1 else "circuit-v10"
     cache_key = (
         f"{ck_tag}-{n_render}-{cfg.camera.width}x{cfg.camera.height}"
     )

@@ -218,18 +218,22 @@ def make_loop_world(
     # at 16 pillars long stretches of the lap saw none (measured:
     # rotation drift exactly zero while pillars were in view, resuming
     # the moment the view went wall-only)
+    def path_clearance(x, z, half=9.5, corner_r=3.5):
+        """Distance from (x, z) to the bench's rounded-square drive
+        path (the corner arcs centre at (±(half-corner_r), ±...))."""
+        ax, az = abs(x), abs(z)
+        cc = half - corner_r
+        if ax > cc and az > cc:  # corner quadrant
+            return abs(np.hypot(ax - cc, az - cc) - corner_r)
+        return abs(max(ax, az) - half)
+
     for k in range(48):
         side = k % 4  # which side of the ring
         t = -1.0 + 2.0 * ((k // 4) + rng.uniform(0.2, 0.8)) / 12.0
+        along = t * (A - 1.0)
         # alternate: hugging the outer wall (facing inward) or the
-        # inner block (facing outward) — both well clear of the path
+        # inner block (facing outward)
         near_outer = (k % 2) == 0
-        # inner pillars stay on the BLOCK's faces (|along| < B): the
-        # old t*(A-1) span let them float in the corridor, and two sat
-        # ON the drive path — the camera passed within ~0.5 m, the
-        # whole view became one blurred close-up with ZERO FAST
-        # keypoints, and tracking blacked out at those corner apexes
-        along = t * ((A - 1.0) if near_outer else (B - 1.0))
         off = rng.uniform(0.4, 1.2)
         d = (A - off) if near_outer else (B + off)
         fx_, fz_ = (-1.0, 0.0) if near_outer else (1.0, 0.0)
@@ -241,10 +245,20 @@ def make_loop_world(
             x, z, face = along, d, (fz_, fx_)
         else:
             x, z, face = along, -d, (fz_, -fx_)
+        w_pillar = float(rng.uniform(0.5, 1.4))
+        h_pillar = float(rng.uniform(2.0, 4.5))
+        # keep the corridor drivable: a pillar ON the path turns the
+        # whole view into one featureless close-up blur (zero FAST
+        # keypoints -> tracking blackout, measured at two corner
+        # apexes). Everything clear of the path stays — the corner
+        # approaches NEED the off-plane structure (removing it
+        # re-opens the planar translation ambiguity).
+        if path_clearance(x, z) < 1.5:
+            continue
         planes.append(pillar(
             x, z, face,
-            width=float(rng.uniform(0.5, 1.4)),
-            height=float(rng.uniform(2.0, 4.5)),
+            width=w_pillar,
+            height=h_pillar,
         ))
     return SyntheticWorld(cam=cam, planes=planes)
 

@@ -491,6 +491,9 @@ class LocalMapper:
         """CreateNewMapPoints device phase (ref: LocalMapping.cc:
         198-472): batched epipolar triangulation dispatch against the
         top covisible neighbors, gated by CheckSemantics."""
+        import os
+        if os.environ.get("SIVO_NO_TRI"):  # ablation hook
+            return None
         m = self.map
         covis = m.covisibility(kf_idx)
         order = np.argsort(-covis)

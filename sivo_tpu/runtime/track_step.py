@@ -284,6 +284,7 @@ def track_step(
     # aliases. Applied only when a velocity prediction exists — after
     # a loss the frozen-pose "prediction" says nothing about rotation.
     MAX_ROT_DEV = 0.12
+    MAX_FRAME_ROT = 0.09  # rad/frame: above any KITTI-at-10fps yaw rate
     rot_dev1 = _rot_dev(res1.pose, T_pred)
     ok_motion = (
         carry.has_velocity
@@ -356,7 +357,19 @@ def track_step(
         pres = pnp_mod.ransac_pnp(
             pw, frame.xy, sigma2_kp, has_bf, key, cam
         )
-        T0 = jnp.where(pres.ok, pres.pose, T_pred)
+        # planar-degenerate EPnP (single-beta case) can return a
+        # metre-shifted pose; with a live velocity the prediction is a
+        # better seed than a kinematically impossible PnP solution
+        pnp_sane = pres.ok & (
+            ~carry.has_velocity
+            | (
+                jnp.linalg.norm(
+                    _center(pres.pose) - _center(T_pred)
+                )
+                <= 3.0 * accel_bound
+            )
+        )
+        T0 = jnp.where(pnp_sane, pres.pose, T_pred)
         resf, ptf = _optimize(
             frame, pt_idx_bf, dmap, T0, cam, scale_factor
         )
@@ -377,6 +390,25 @@ def track_step(
         posef, n_inlf, covf, ptf, pt_idx_bf, bf_n, okf
     ) = jax.lax.cond(need_anchor, _anchor_path, _no_anchor)
     rot_devf = _rot_dev(posef, T_pred)
+    # Kinematic sanity on the anchor itself: EPnP on a near-planar
+    # view (one wall filling the corner frame) is degenerate in our
+    # single-beta case and can return a metre-scale-shifted pose whose
+    # reprojections still pass (plane homography ambiguity) — measured
+    # as a 3 m/frame VERTICAL dive accepted with 150 anchor inliers at
+    # corner entry. With a live velocity the true pose is within one
+    # frame of motion; without one (post-loss) the anchor must be free
+    # to jump.
+    anchor_sane = ~carry.has_velocity | (
+        (
+            jnp.linalg.norm(_center(posef) - _center(carry.pose))
+            <= 2.0 * accel_bound
+        )
+        & (
+            _rot_dev(posef, carry.pose)
+            <= 2.0 * (MAX_FRAME_ROT + MAX_ROT_DEV)
+        )
+    )
+    okf = okf & anchor_sane
 
     # ---- arbiter ---------------------------------------------------------
     # When both paths are healthy and AGREE in rotation, the window
@@ -524,7 +556,6 @@ def track_step(
         jnp.linalg.norm(_center(T_sel) - _center(T1))
         <= 2.0 * accel_bound
     ) & (_rot_dev(T_sel, T1) <= MAX_ROT_DEV)
-    MAX_FRAME_ROT = 0.09  # rad/frame: above any KITTI-at-10fps yaw rate
     rescue = (
         carry.has_velocity
         & (inl_sel >= 50)
