@@ -197,8 +197,12 @@ def _warm_loop_programs(system) -> None:
         obs_is_stereo=jnp.zeros(lc.GBA_OBS_BIG, bool),
         obs_valid=jnp.zeros(lc.GBA_OBS_BIG, bool),
     )
-    cres = local_ba.global_bundle_adjustment_chunked(
-        cprob, cam, iterations=10, o_chunk=lc.O_CHUNK
+    ccarry = local_ba.gba_chunked_begin(cprob, cam, o_chunk=lc.O_CHUNK)
+    ccarry = local_ba.gba_chunked_step(
+        ccarry, cprob, cam, o_chunk=lc.O_CHUNK
+    )
+    cres = local_ba.gba_chunked_finish(
+        ccarry, cprob, cam, o_chunk=lc.O_CHUNK
     )
     _ = fetch_packed(
         {
@@ -270,7 +274,7 @@ def main() -> None:
     n_render = LAP if laps > 1 else n_frames
     # render cache: the full-res circuit render costs minutes of host
     # time; keyed by the scene parameters so edits invalidate it
-    ck_tag = "circuit-v10lap" if laps > 1 else "circuit-v10"
+    ck_tag = "circuit-v11lap" if laps > 1 else "circuit-v11"
     cache_key = (
         f"{ck_tag}-{n_render}-{cfg.camera.width}x{cfg.camera.height}"
     )

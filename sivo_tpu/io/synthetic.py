@@ -260,6 +260,32 @@ def make_loop_world(
             width=w_pillar,
             height=h_pillar,
         ))
+    # corner-pocket pillars: the quadrants beyond the path arcs are
+    # otherwise EMPTY (wall-hugging pillars never land there), so the
+    # last straight frames before each corner face only distant
+    # near-planar walls — measured as an exponential y/scale alias
+    # runaway (est y 0.05 -> 1.03 m over 4 frames at 500+ inliers) that
+    # no kinematic gate can catch because each step is small. Close
+    # off-plane structure in the approach FOV makes the alias cost
+    # reprojection error and pins y/pitch through the turn, the role
+    # parked cars and street furniture play at real intersections.
+    cc = 9.5 - 3.5  # path arc centres (+-cc, +-cc), bench geometry
+    for sx, sz in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        for j, (r0, th_deg) in enumerate(
+            ((5.6, 70.0), (6.6, 40.0), (7.6, 55.0), (8.4, 20.0))
+        ):
+            r = r0 + rng.uniform(-0.3, 0.3)
+            th = np.radians(th_deg + rng.uniform(-6.0, 6.0))
+            x = sx * (cc + r * np.cos(th))
+            z = sz * (cc + r * np.sin(th))
+            if path_clearance(x, z) < 1.8:
+                continue
+            face = (-sx * np.cos(th), -sz * np.sin(th))
+            planes.append(pillar(
+                x, z, face,
+                width=float(rng.uniform(0.8, 1.6)),
+                height=float(rng.uniform(2.5, 5.0)),
+            ))
     return SyntheticWorld(cam=cam, planes=planes)
 
 

@@ -261,23 +261,25 @@ def _lm_round(
     return kf_pose, pt_pos, chi2, S_final
 
 
-def _lm_round_chunked(
-    kf_pose: jnp.ndarray,
-    pt_pos: jnp.ndarray,
+def _chunked_machinery(
     prob: BAProblem,
     active: jnp.ndarray,
     cam: CameraParams,
     use_huber: bool,
-    n_iters: int,
     o_chunk: int,
-    lam0_scale: float = 1e-5,
 ):
-    """LM stage with the Schur reduction accumulated by a lax.scan over
-    observation chunks instead of the dense (P, K, 6, 3) cross-block
-    buffer — the full-map scale path (ref: Optimizer.cc:39-271 runs
-    over EVERY keyframe and point; the dense buffer capped us at 64 KF
-    / 8k points). Requires observations sorted by point with no point
-    group spanning a chunk boundary (ba_build pads them so); a
+    """(robust_chi2, build_and_solve) closures for the chunked-Schur LM
+    iteration — shared by the scan-based solver and the STEPPED api
+    (gba_chunked_begin/step/finish), which dispatches one iteration per
+    program so per-frame tracking work interleaves with a long post-loop
+    GBA instead of queueing behind one monolithic solve.
+
+    The Schur reduction is accumulated by a lax.scan over observation
+    chunks instead of the dense (P, K, 6, 3) cross-block buffer — the
+    full-map scale path (ref: Optimizer.cc:39-271 runs over EVERY
+    keyframe and point; the dense buffer capped us at 64 KF / 8k
+    points). Requires observations sorted by point with no point group
+    spanning a chunk boundary (ba_build pads them so); a
     boundary-spanning group degrades gracefully (its cross-chunk Schur
     pairs are dropped — the point acts as two independent points).
 
@@ -433,6 +435,38 @@ def _lm_round_chunked(
         pp_new = jnp.where(prob.pt_valid[:, None], pp + dp, pp)
         return kp_new, pp_new, S
 
+    return robust_chi2, build_and_solve
+
+
+def _lm_step_generic(robust_chi2, build_and_solve, carry):
+    """One accept/reject LM iteration over a (kp, pp, lam, best) carry."""
+    kp, pp, lam, best = carry
+    kp_new, pp_new, _ = build_and_solve(kp, pp, lam)
+    new_chi2 = robust_chi2(kp_new, pp_new)
+    improved = new_chi2 < best
+    kp = jnp.where(improved, kp_new, kp)
+    pp = jnp.where(improved, pp_new, pp)
+    lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+    best = jnp.minimum(new_chi2, best)
+    return kp, pp, lam, best
+
+
+def _lm_round_chunked(
+    kf_pose: jnp.ndarray,
+    pt_pos: jnp.ndarray,
+    prob: BAProblem,
+    active: jnp.ndarray,
+    cam: CameraParams,
+    use_huber: bool,
+    n_iters: int,
+    o_chunk: int,
+    lam0_scale: float = 1e-5,
+):
+    """Chunked-Schur LM round (see _chunked_machinery), all n_iters in
+    one program via lax.scan."""
+    robust_chi2, build_and_solve = _chunked_machinery(
+        prob, active, cam, use_huber, o_chunk
+    )
     r0, Jc0, _, _ = _residuals(kf_pose, pt_pos, prob, cam)
     w0 = (active / prob.obs_sigma2)[:, None, None]
     diag_max = jnp.maximum(
@@ -441,15 +475,7 @@ def _lm_round_chunked(
     lam_init = lam0_scale * diag_max
 
     def step(carry, _):
-        kp, pp, lam, best = carry
-        kp_new, pp_new, _ = build_and_solve(kp, pp, lam)
-        new_chi2 = robust_chi2(kp_new, pp_new)
-        improved = new_chi2 < best
-        kp = jnp.where(improved, kp_new, kp)
-        pp = jnp.where(improved, pp_new, pp)
-        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
-        best = jnp.minimum(new_chi2, best)
-        return (kp, pp, lam, best), None
+        return _lm_step_generic(robust_chi2, build_and_solve, carry), None
 
     init = (kf_pose, pt_pos, lam_init, robust_chi2(kf_pose, pt_pos))
     (kf_pose, pt_pos, lam, chi2), _ = jax.lax.scan(
@@ -457,6 +483,66 @@ def _lm_round_chunked(
     )
     _, _, S_final = build_and_solve(kf_pose, pt_pos, 0.0)
     return kf_pose, pt_pos, chi2, S_final
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "o_chunk"))
+def gba_chunked_begin(
+    prob: BAProblem, cam: CameraParams, o_chunk: int = 1024
+):
+    """Initial (kf_pose, pt_pos, lam, best_chi2) carry for the STEPPED
+    full-map GBA. The stepped api exists because the single-chip device
+    executes programs in dispatch order: a monolithic 10-iteration
+    full-map solve blockades every per-frame tracking program behind it
+    (measured as a 36 s frame stall when compaction joined the queue);
+    one-iteration programs paced by the loop closer's poll interleave
+    with frames (ref behavior: LoopClosing.cc:663-765 runs GBA in its
+    own THREAD for the same reason)."""
+    robust_chi2, _ = _chunked_machinery(
+        prob, prob.obs_valid, cam, False, o_chunk
+    )
+    r0, Jc0, _, _ = _residuals(prob.kf_pose, prob.pt_pos, prob, cam)
+    w0 = (prob.obs_valid / prob.obs_sigma2)[:, None, None]
+    diag_max = jnp.maximum(
+        jnp.max(jnp.einsum("oij,oij->o", Jc0 * w0, Jc0)), 1.0
+    )
+    return (
+        prob.kf_pose,
+        prob.pt_pos,
+        1e-5 * diag_max,
+        robust_chi2(prob.kf_pose, prob.pt_pos),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "o_chunk"))
+def gba_chunked_step(
+    carry, prob: BAProblem, cam: CameraParams, o_chunk: int = 1024
+):
+    """ONE LM iteration of the stepped full-map GBA."""
+    robust_chi2, build_and_solve = _chunked_machinery(
+        prob, prob.obs_valid, cam, False, o_chunk
+    )
+    return _lm_step_generic(robust_chi2, build_and_solve, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "o_chunk"))
+def gba_chunked_finish(
+    carry, prob: BAProblem, cam: CameraParams, o_chunk: int = 1024
+) -> BAResult:
+    """Inlier classification for a stepped GBA's final carry. newest_cov
+    is identity: the post-loop GBA consumer only applies poses/points
+    (ref: LoopClosing.cc:683-765)."""
+    kp, pp, lam, best = carry
+    r, _, _, z = _residuals(kp, pp, prob, cam)
+    chi2 = _chi2(r, prob)
+    th = jnp.where(prob.obs_is_stereo, CHI2_STEREO, CHI2_MONO)
+    inlier = prob.obs_valid & (chi2 <= th) & (z > 0)
+    return BAResult(
+        kf_pose=kp,
+        pt_pos=pp,
+        obs_inlier=inlier,
+        newest_cov=jnp.eye(6),
+        chi2=best,
+    )
 
 
 @functools.partial(

@@ -111,11 +111,19 @@ def should_compact(system) -> bool:
         if m.n_keyframes
         else 0.0
     )
-    return (
+    critical = (pt_occ > 0.97 and pt_dead > 0.01) or (
+        kf_occ > 0.97 and kf_dead > 0.01
+    )
+    lc = getattr(system, "loop_closer", None)
+    if lc is not None and lc._gba is not None and not critical:
+        # compaction would turn the ASYNC post-loop GBA into a
+        # synchronous stall (_compact must apply it first — measured
+        # 36 s when it landed mid-solve); defer until the solve drains
+        # unless a store is critically full
+        return False
+    return critical or (
         (pt_occ > 0.85 and pt_dead > 0.10)
-        or (pt_occ > 0.97 and pt_dead > 0.01)
         or (kf_occ > 0.85 and kf_dead > 0.10)
-        or (kf_occ > 0.97 and kf_dead > 0.01)
     )
 
 

@@ -132,10 +132,14 @@ class LoopCloser:
         """Process pending keyframes whose word fetches landed.
         Returns keyframes at which a loop was closed."""
         closed: list[int] = []
-        if self._gba is not None and (
-            block or self._gba["future"].done()
-        ):
-            self._gba_apply(tracker)
+        if self._gba is not None:
+            self._gba_advance(block)
+            if (
+                self._gba is not None
+                and self._gba["future"] is not None
+                and (block or self._gba["future"].done())
+            ):
+                self._gba_apply(tracker)
         while self._pending and (
             block or self._pending[0][1].done()
         ):
@@ -710,16 +714,35 @@ class LoopCloser:
             self.cap_binds["gba_truncated"] = (
                 self.cap_binds.get("gba_truncated", 0) + 1
             )
-        if chunked:
-            res = local_ba.global_bundle_adjustment_chunked(
-                prob, self.cam, iterations=10, o_chunk=self.O_CHUNK
-            )
-        else:
-            res = local_ba.global_bundle_adjustment(
-                prob, self.cam, iterations=10
-            )
         # a newer closure's GBA supersedes an unapplied one
         # (ref: mnFullBAIdx, LoopClosing.cc:413-424, 674-678)
+        if chunked:
+            # STEPPED dispatch: one LM iteration per poll — a monolithic
+            # full-map solve blockades the single chip's program queue
+            # and every frame behind it (ref: the GBA THREAD,
+            # LoopClosing.cc:663-765)
+            from sivo_tpu.utils.fetch import device_get_async
+
+            carry = local_ba.gba_chunked_begin(
+                prob, self.cam, o_chunk=self.O_CHUNK
+            )
+            self._gba = {
+                "ctx": ctx,
+                "future": None,
+                "stepped": {
+                    "carry": carry,
+                    "prob": prob,
+                    "iters_left": 10,
+                    "probe": device_get_async(carry[3]),
+                },
+                "n_kf": K,
+                "n_pt": m.n_points,
+                "poses_before": m.kf_pose[:K].copy(),
+            }
+            return
+        res = local_ba.global_bundle_adjustment(
+            prob, self.cam, iterations=10
+        )
         self._gba = {
             "ctx": ctx,
             "future": fetch_packed_async(
@@ -733,6 +756,55 @@ class LoopCloser:
             "n_pt": m.n_points,
             "poses_before": m.kf_pose[:K].copy(),
         }
+
+    def _gba_advance(self, block: bool = False) -> None:
+        """Pace a stepped (chunked) GBA: dispatch the next LM-iteration
+        program once the previous one's completion probe lands; after
+        the last iteration, dispatch the inlier finish + result fetch.
+        With ``block`` the remaining iterations dispatch back-to-back
+        (the device serializes them) and the result fetch starts."""
+        g = self._gba
+        st = g.get("stepped") if g else None
+        if st is None:
+            return
+        from sivo_tpu.optim import local_ba
+        from sivo_tpu.utils.fetch import (
+            device_get_async,
+            fetch_packed_async,
+        )
+
+        while block or st["probe"].done():
+            if st["iters_left"] > 0:
+                st["carry"] = local_ba.gba_chunked_step(
+                    st["carry"], st["prob"], self.cam,
+                    o_chunk=self.O_CHUNK,
+                )
+                st["iters_left"] -= 1
+                st["probe"] = device_get_async(st["carry"][3])
+            else:
+                res = local_ba.gba_chunked_finish(
+                    st["carry"], st["prob"], self.cam,
+                    o_chunk=self.O_CHUNK,
+                )
+                g["future"] = fetch_packed_async(
+                    {
+                        "kf_pose": res.kf_pose,
+                        "pt_pos": res.pt_pos,
+                        "inlier": res.obs_inlier,
+                    }
+                )
+                g.pop("stepped")
+                return
+            if not block:
+                return  # one new iteration per poll
+
+    def finish_gba(self, tracker) -> None:
+        """Drive any in-flight GBA to completion and apply it (drained-
+        pipeline points: flush, compaction)."""
+        if self._gba is None:
+            return
+        self._gba_advance(block=True)
+        self._gba_apply(tracker)
 
     def _gba_apply(self, tracker) -> None:
         """Apply a landed GBA solution and propagate the correction to

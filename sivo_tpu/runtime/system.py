@@ -271,9 +271,9 @@ class System:
         with self.timer.stage("compact"):
             self.flush()
             lc = self.loop_closer
-            if lc is not None and lc._gba is not None:
+            if lc is not None:
                 # an in-flight GBA holds pre-compaction ids
-                lc._gba_apply(self.tracker)
+                lc.finish_gba(self.tracker)
             self.peak_point_slots = max(
                 getattr(self, "peak_point_slots", 0),
                 self.map.n_points,

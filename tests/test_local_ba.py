@@ -224,3 +224,36 @@ def test_gba_chunked_matches_dense():
     )
     pt_err = np.linalg.norm(np.asarray(chunked.pt_pos) - gt_pts, axis=-1)
     assert np.median(pt_err) < 0.05, np.median(pt_err)
+
+
+def test_gba_stepped_matches_chunked():
+    """The stepped api (begin/step/finish — one LM iteration per
+    program, paced by the loop closer's poll) must produce EXACTLY the
+    scan-based chunked solve: same iteration math, different program
+    boundaries."""
+    prob, gt_poses, _, _ = make_problem(noise=0.1)
+    sorted_prob = _sort_pad_for_chunks(prob, o_chunk=1024)
+    chunked = local_ba.global_bundle_adjustment_chunked(
+        prob=sorted_prob, cam=CAM, iterations=8, o_chunk=1024
+    )
+    carry = local_ba.gba_chunked_begin(sorted_prob, CAM, o_chunk=1024)
+    for _ in range(8):
+        carry = local_ba.gba_chunked_step(
+            carry, sorted_prob, CAM, o_chunk=1024
+        )
+    stepped = local_ba.gba_chunked_finish(
+        carry, sorted_prob, CAM, o_chunk=1024
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepped.kf_pose), np.asarray(chunked.kf_pose),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepped.pt_pos), np.asarray(chunked.pt_pos),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stepped.obs_inlier), np.asarray(chunked.obs_inlier)
+    )
+    errs = pose_errors(np.asarray(stepped.kf_pose), gt_poses)
+    assert errs.max() < 5e-3, errs
