@@ -108,22 +108,23 @@ def _warm_loop_programs(system) -> None:
     )
     _ = jax.device_get(m12)
 
-    K_cap, E_pad = 64, 256
-    prob = pose_graph.PoseGraphProblem(
-        s=jnp.ones(K_cap),
-        R=jnp.tile(jnp.eye(3), (K_cap, 1, 1)),
-        t=jnp.zeros((K_cap, 3)),
-        fixed=jnp.zeros(K_cap, bool).at[0].set(True),
-        valid=jnp.zeros(K_cap, bool).at[:4].set(True),
-        edge_i=jnp.zeros(E_pad, jnp.int32),
-        edge_j=jnp.zeros(E_pad, jnp.int32),
-        meas_s=jnp.ones(E_pad),
-        meas_R=jnp.tile(jnp.eye(3), (E_pad, 1, 1)),
-        meas_t=jnp.zeros((E_pad, 3)),
-        edge_valid=jnp.zeros(E_pad, bool),
-    )
-    s, R, t = pose_graph.optimize_essential_graph(prob)
-    _ = jax.device_get(s)
+    K_cap = 64
+    for E_pad in (256, 512):  # loopclosing pads edges to pow-2 buckets
+        prob = pose_graph.PoseGraphProblem(
+            s=jnp.ones(K_cap),
+            R=jnp.tile(jnp.eye(3), (K_cap, 1, 1)),
+            t=jnp.zeros((K_cap, 3)),
+            fixed=jnp.zeros(K_cap, bool).at[0].set(True),
+            valid=jnp.zeros(K_cap, bool).at[:4].set(True),
+            edge_i=jnp.zeros(E_pad, jnp.int32),
+            edge_j=jnp.zeros(E_pad, jnp.int32),
+            meas_s=jnp.ones(E_pad),
+            meas_R=jnp.tile(jnp.eye(3), (E_pad, 1, 1)),
+            meas_t=jnp.zeros((E_pad, 3)),
+            edge_valid=jnp.zeros(E_pad, bool),
+        )
+        s, R, t = pose_graph.optimize_essential_graph(prob)
+        _ = jax.device_get(s)
 
     # local BA at the mapper's caps (BA-skip means the warmup frames
     # may never have dispatched one; first compile is ~25 s on TPU)
@@ -183,34 +184,45 @@ def _warm_loop_programs(system) -> None:
     )
 
     # chunked full-map GBA (the path taken once the map outgrows the
-    # dense caps — the bench map does by the first loop closure)
-    cprob = local_ba.BAProblem(
-        kf_pose=jnp.tile(jnp.eye(4), (lc.GBA_KF_BIG, 1, 1)),
-        kf_fixed=jnp.zeros(lc.GBA_KF_BIG, bool).at[0].set(True),
-        kf_valid=jnp.zeros(lc.GBA_KF_BIG, bool).at[:2].set(True),
-        pt_pos=jnp.zeros((lc.GBA_PT_BIG, 3)),
-        pt_valid=jnp.zeros(lc.GBA_PT_BIG, bool),
-        obs_kf=jnp.zeros(lc.GBA_OBS_BIG, jnp.int32),
-        obs_pt=jnp.zeros(lc.GBA_OBS_BIG, jnp.int32),
-        obs_uvr=jnp.zeros((lc.GBA_OBS_BIG, 3)),
-        obs_sigma2=jnp.ones(lc.GBA_OBS_BIG),
-        obs_is_stereo=jnp.zeros(lc.GBA_OBS_BIG, bool),
-        obs_valid=jnp.zeros(lc.GBA_OBS_BIG, bool),
+    # dense caps — the bench map does by the first loop closure).
+    # Buckets are smallest-fit; warm MID always, BIG only for
+    # endurance-scale runs (each bucket shape is its own compile).
+    import os as _os_w
+
+    endurance = int(_os_w.environ.get("SIVO_BENCH_LAPS", "1")) > 1
+    buckets = (
+        lc.GBA_BUCKETS if endurance else lc.GBA_BUCKETS[:1]
     )
-    ccarry = local_ba.gba_chunked_begin(cprob, cam, o_chunk=lc.O_CHUNK)
-    ccarry = local_ba.gba_chunked_step(
-        ccarry, cprob, cam, o_chunk=lc.O_CHUNK
-    )
-    cres = local_ba.gba_chunked_finish(
-        ccarry, cprob, cam, o_chunk=lc.O_CHUNK
-    )
-    _ = fetch_packed(
-        {
-            "kf_pose": cres.kf_pose,
-            "pt_pos": cres.pt_pos,
-            "inlier": cres.obs_inlier,
-        }
-    )
+    for kf_b, pt_b, obs_b in buckets:
+        cprob = local_ba.BAProblem(
+            kf_pose=jnp.tile(jnp.eye(4), (kf_b, 1, 1)),
+            kf_fixed=jnp.zeros(kf_b, bool).at[0].set(True),
+            kf_valid=jnp.zeros(kf_b, bool).at[:2].set(True),
+            pt_pos=jnp.zeros((pt_b, 3)),
+            pt_valid=jnp.zeros(pt_b, bool),
+            obs_kf=jnp.zeros(obs_b, jnp.int32),
+            obs_pt=jnp.zeros(obs_b, jnp.int32),
+            obs_uvr=jnp.zeros((obs_b, 3)),
+            obs_sigma2=jnp.ones(obs_b),
+            obs_is_stereo=jnp.zeros(obs_b, bool),
+            obs_valid=jnp.zeros(obs_b, bool),
+        )
+        ccarry = local_ba.gba_chunked_begin(
+            cprob, cam, o_chunk=lc.O_CHUNK
+        )
+        ccarry = local_ba.gba_chunked_step(
+            ccarry, cprob, cam, o_chunk=lc.O_CHUNK
+        )
+        cres = local_ba.gba_chunked_finish(
+            ccarry, cprob, cam, o_chunk=lc.O_CHUNK
+        )
+        _ = fetch_packed(
+            {
+                "kf_pose": cres.kf_pose,
+                "pt_pos": cres.pt_pos,
+                "inlier": cres.obs_inlier,
+            }
+        )
 
 
 def main() -> None:
@@ -410,15 +422,32 @@ def main() -> None:
     )
     ok_ids = rec_ids[rec_ids < len(gt)]
     ate = synthetic.ate_rmse(est[: len(ok_ids)], gt[ok_ids])
+    # pre-correction ATE: the poses as recorded at retire time, before
+    # loop closure / GBA re-chained history — the drift the loop stack
+    # actually removed
+    est_raw = np.stack(
+        [r.pose for r in system.tracker.trajectory]
+    ).astype(np.float64)
+    ate_raw = synthetic.ate_rmse(est_raw[: len(ok_ids)], gt[ok_ids])
     traj_out = os.environ.get("SIVO_BENCH_SAVE_TRAJ")
     if traj_out:
         lost_mask = np.array(
             [r.lost for r in system.tracker.trajectory], bool
         )
+        kf_fids = np.array(
+            [
+                system.map.kf_data[k].frame_id
+                if system.map.kf_data[k] is not None
+                else -1
+                for k in range(system.map.n_keyframes)
+            ],
+            np.int64,
+        )
         np.savez(
-            traj_out, est=est, gt=gt, rec_ids=rec_ids,
-            lost=lost_mask,
+            traj_out, est=est, est_raw=est_raw, gt=gt,
+            rec_ids=rec_ids, lost=lost_mask,
             kf_pose=system.map.kf_pose[: system.map.n_keyframes],
+            kf_frame_ids=kf_fids,
         )
     n_resets = getattr(system, "n_resets", 0)
     frames_tracked = len(ok_ids)
@@ -498,6 +527,7 @@ def main() -> None:
             ),
             "loops_closed": loops,
             "ate_m": round(float(ate), 3),
+            "ate_m_before_correction": round(float(ate_raw), 3),
             "cap_binds": {
                 **system.mapper.cap_binds,
                 **(
@@ -529,7 +559,17 @@ def main() -> None:
             ),
             "ms_per_frame": round(dt * 1000, 1),
             "tracking_only_fps": round(fps_tracking, 2),
+            "crisis_frames": getattr(system, "crisis_frames", 0),
             "stage_mean_ms": stage_ms,
+            "stage_total_s": {
+                name: round(system.timer.totals[name], 2)
+                for name in system.timer.totals
+            },
+            "stage_calls": dict(system.timer.counts),
+            "stage_max_ms": {
+                name: round(1000 * max(s), 1)
+                for name, s in system.timer.samples.items()
+            },
             "relay_calibration": {
                 "dispatch_fetch_ms": round(disp_ms, 2),
                 "matmul_2048_ms": round(mm_ms, 2),

@@ -9,9 +9,16 @@ threshold at which p is still a FAST-9 corner, identical to OpenCV's
 the dual-threshold cell fallback becomes a mask select.
 
 Everything is elementwise over the (L, H, W) canvas: ideal VPU work.
+Internally the score runs in bfloat16 — pixel differences are integers
+|d| <= 255, exact in bf16's 8-bit mantissa, and the canvas-sized
+intermediates are the frontend's dominant HBM traffic on this part —
+as a flat list of (L, H, W) arrays (not a stacked (16, L, H, W) tensor,
+whose axis-0 rolls defeat XLA elementwise fusion).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,28 +32,14 @@ CIRCLE_OFFSETS = (
 ARC_LEN = 9  # FAST-9: need 9 contiguous pixels
 
 
-def _ring(img: jnp.ndarray) -> jnp.ndarray:
-    """(..., H, W) -> (16, ..., H, W) circle-neighbor values via rolls
-    (wrap-around only touches the canvas border, which detection masks
-    exclude)."""
-    return jnp.stack(
-        [
-            jnp.roll(img, (-dy, -dx), axis=(-2, -1))
-            for dy, dx in CIRCLE_OFFSETS
-        ]
-    )
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """img shifted so out[p] = img[p + (dy, dx)] (wrap-around only
+    touches the canvas border, which detection masks exclude)."""
+    return jnp.roll(img, (-dy, -dx), axis=(-2, -1))
 
 
-def _min_window9(d: jnp.ndarray) -> jnp.ndarray:
-    """Min over each circular window of 9 consecutive ring values."""
-    m2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))  # windows of 2
-    m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))  # 4
-    m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))  # 8
-    return jnp.minimum(m8, jnp.roll(d, -8, axis=0))  # 9
-
-
-def corner_score(img: jnp.ndarray) -> jnp.ndarray:
-    """Dense FAST-9 corner score.
+def _corner_score_bf16(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9 corner score in bfloat16.
 
     score(p) = max over contiguous 9-arcs of
                  max( min(ring - p) over bright arcs,
@@ -54,30 +47,55 @@ def corner_score(img: jnp.ndarray) -> jnp.ndarray:
     i.e. the largest t for which p is a FAST-9 corner (OpenCV
     cornerScore semantics, which the reference relies on via
     cv::FAST(..., nonmaxSuppression=true)). Non-corners get <= 0.
-
-    img: (..., H, W) float. Returns same shape, float.
     """
-    ring = _ring(img)
-    d_bright = ring - img[None]  # > t for bright arc
-    d_dark = -d_bright  # > t for dark arc
-    sb = jnp.max(_min_window9(d_bright), axis=0)
-    sd = jnp.max(_min_window9(d_dark), axis=0)
+    x = img.astype(jnp.bfloat16)
+    # bright-arc diffs around the ring; dark arcs are the negation, so
+    # one diff list feeds both the min-window (bright) and max-window
+    # (dark: min(p - r) over a window = -max(r - p) over it) trees
+    d = [_shift(x, dy, dx) - x for dy, dx in CIRCLE_OFFSETS]
+    n = len(d)
+
+    def windows9(vals, op):
+        """op-reduction over each circular window of 9 consecutive ring
+        values, by doubling (2, 4, 8, 9)."""
+        w2 = [op(vals[k], vals[(k + 1) % n]) for k in range(n)]
+        w4 = [op(w2[k], w2[(k + 2) % n]) for k in range(n)]
+        w8 = [op(w4[k], w4[(k + 4) % n]) for k in range(n)]
+        return [op(w8[k], vals[(k + 8) % n]) for k in range(n)]
+
+    mn9 = windows9(d, jnp.minimum)  # min(ring - p) per bright window
+    mx9 = windows9(d, jnp.maximum)  # max(ring - p) per dark window
+    sb = functools.reduce(jnp.maximum, mn9)
+    sd = -functools.reduce(jnp.minimum, mx9)
     return jnp.maximum(sb, sd)
+
+
+def corner_score(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9 corner score. img: (..., H, W) float. Returns the
+    same shape, float32 (see ``_corner_score_bf16`` for semantics)."""
+    return _corner_score_bf16(img).astype(jnp.float32)
+
+
+# 3x3 neighbours split by raster order (earlier rows/cols first): the
+# deterministic plateau tie-break below keeps the raster-FIRST pixel of
+# each flat plateau, mirroring the reference's sequential cv::FAST.
+_NEIGH_EARLIER = ((-1, -1), (-1, 0), (-1, 1), (0, -1))
+_NEIGH_LATER = ((0, 1), (1, -1), (1, 0), (1, 1))
 
 
 def nonmax_suppress_3x3(score: jnp.ndarray) -> jnp.ndarray:
     """True where score is the maximum of its 3x3 neighborhood
-    (ref: OpenCV FAST nonmaxSuppression). Ties keep both candidates —
-    downstream top-k ordering resolves them."""
-    neigh = jnp.full_like(score, -jnp.inf)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            neigh = jnp.maximum(
-                neigh, jnp.roll(score, (-dy, -dx), axis=(-2, -1))
-            )
-    return score >= neigh
+    (ref: OpenCV FAST nonmaxSuppression). Plateau ties resolve to the
+    raster-first pixel (strict > against earlier neighbours, >= against
+    later ones) — the sequential reference naturally picks one; a plain
+    vectorized >= would keep whole plateaus of near-duplicate corners."""
+    ne = functools.reduce(
+        jnp.maximum, [_shift(score, dy, dx) for dy, dx in _NEIGH_EARLIER]
+    )
+    nl = functools.reduce(
+        jnp.maximum, [_shift(score, dy, dx) for dy, dx in _NEIGH_LATER]
+    )
+    return (score > ne) & (score >= nl)
 
 
 def detect(
@@ -100,22 +118,13 @@ def detect(
         determinism").
 
     Returns:
-      (..., H, W) float score map: -inf where not a corner / not valid,
-      else the corner score. NMS already applied.
+      (..., H, W) bfloat16 score map: -inf where not a corner / not
+      valid, else the corner score (an integer-valued diff, exact in
+      bf16). NMS already applied.
     """
-    score = corner_score(img)
-    # deterministic plateau tie-break: bias by raster position so flat
-    # score regions yield exactly one NMS winner (the reference's
-    # sequential cv::FAST naturally picks one; a vectorized >= keeps
-    # whole plateaus, which creates near-duplicate descriptors)
-    h, w = img.shape[-2], img.shape[-1]
-    ramp = (
-        jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * w
-        + jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ) * (0.5 / (h * w))
-    score = score - ramp
+    score = _corner_score_bf16(img)
     is_nms = nonmax_suppress_3x3(score)
-    neg = jnp.float32(-jnp.inf)
+    neg = jnp.bfloat16(-jnp.inf)
     base = jnp.where(valid & is_nms, score, neg)
 
     hi = jnp.where(base > ini_threshold, base, neg)

@@ -101,6 +101,9 @@ def select_keypoints(
     cells = sp.reshape(L, ncy, cell, ncx, cell)
     cells = jnp.moveaxis(cells, 2, 3).reshape(L, ncy * ncx, cell * cell)
     cv, ci = jax.lax.top_k(cells, per_cell)  # (L, C, per_cell)
+    # the big score map may arrive bf16 (fast.detect); the small
+    # selected set upcasts for the priority arithmetic below
+    cv = cv.astype(jnp.float32)
     # decode candidate canvas coords
     cell_idx = jnp.arange(ncy * ncx)
     cy0 = (cell_idx // ncx) * cell

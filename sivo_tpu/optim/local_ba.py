@@ -190,7 +190,8 @@ def _lm_round(
         Hpp_d = jnp.where(
             has_pt[:, None, None], Hpp_d, jnp.eye(3)[None]
         )
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        with jax.default_matmul_precision("highest"):
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
 
         # Schur: S = Hcc + lam I - sum_p E_p Hpp_inv E_p^T
         G = jnp.einsum("pkil,plm->pkim", E, Hpp_inv,
@@ -218,7 +219,10 @@ def _lm_round(
         )
         b_red = jnp.where(free6, b_red, 0.0)
 
-        dc = jnp.linalg.solve(S, b_red).reshape(K, 6)
+        with jax.default_matmul_precision("highest"):
+            # bf16-default factorization noise exceeds the update
+            # sizes this solve must resolve
+            dc = jnp.linalg.solve(S, b_red).reshape(K, 6)
         # back-substitute points
         Etd = jnp.einsum("pkil,ki->pl", E, dc,
                          precision=jax.lax.Precision.HIGHEST)
@@ -374,7 +378,8 @@ def _chunked_machinery(
         Hpp_d = jnp.where(
             has_pt[:, None, None], Hpp_d, jnp.eye(3)[None]
         )
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        with jax.default_matmul_precision("highest"):
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
 
         def reduce_body(carry, inp):
             S_red, b_corr = carry
@@ -411,7 +416,10 @@ def _chunked_machinery(
         S = jnp.where(mask2d, S, 0.0)
         S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
         b_red = jnp.where(free6, bc.reshape(-1) - b_corr, 0.0)
-        dc = jnp.linalg.solve(S, b_red).reshape(K, 6)
+        with jax.default_matmul_precision("highest"):
+            # bf16-default factorization noise exceeds the update
+            # sizes this solve must resolve
+            dc = jnp.linalg.solve(S, b_red).reshape(K, 6)
 
         # back-substitution: Etd per point via a second chunk scan
         def backsub_body(Etd_all, inp):

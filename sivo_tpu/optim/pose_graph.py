@@ -123,7 +123,12 @@ def optimize_essential_graph(
             jnp.where(free7, 1e-6, 1.0)
         )  # tiny damping (ref lambda_init 1e-16) + gauge rows
         b2 = jnp.where(free7, b.reshape(-1), 0.0)
-        dx = jnp.linalg.solve(H2, b2).reshape(K, 7)
+        # the dense (7K, 7K) factorization must NOT run at the TPU's
+        # default bf16 matmul precision: this system's conditioning
+        # (chains of near-identity Sim3s) amplifies half-precision
+        # round-off into metre-scale vertex error
+        with jax.default_matmul_precision("highest"):
+            dx = jnp.linalg.solve(H2, b2).reshape(K, 7)
         dS = sim3.exp(dx)
         Sv_new = sim3.compose(dS, Sv)
         keep = free[:, None]

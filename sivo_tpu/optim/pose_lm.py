@@ -174,7 +174,10 @@ def _lm_iterations(
         r, J = _residuals_jacobians(T, obs, cam)
         H, b, _ = _normal_equations(r, J, obs, active, use_huber)
         Hl = H + lam * jnp.eye(6, dtype=H.dtype)
-        dx = jnp.linalg.solve(Hl, b)
+        with jax.default_matmul_precision("highest"):
+            # keep the 6x6 factorization off the TPU's bf16 matmul
+            # default — per-frame pose updates are centimetre-scale
+            dx = jnp.linalg.solve(Hl, b)
         T_new = hmat(se3.exp(dx), T)
         new_chi2 = chi2_at(T_new)
         improved = new_chi2 < best_chi2

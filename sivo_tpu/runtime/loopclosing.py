@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sivo_tpu.config import SystemConfig
-from sivo_tpu.geometry import sim3
 from sivo_tpu.geometry.projection import CameraParams
 from sivo_tpu.ops import matching
 from sivo_tpu.optim import pose_graph, sim3_opt
@@ -55,14 +54,29 @@ class LoopCloser:
     loop_events: list = field(default_factory=list)
     # cap-bind counters (essential-graph edges, GBA window, fuse caps)
     cap_binds: dict = field(default_factory=dict)
+    # optional StageTimer (wired by System) for lc.* sub-stages
+    timer: object = None
 
     def __post_init__(self):
         if self.db is None:
             self.db = db_mod.KeyFrameDatabase(n_words=self.voc.n_words)
         # keyframes whose BoW word fetch is in flight (kf_idx, future)
         self._pending: list[tuple] = []
+        # in-flight Sim3 attempts (async state machine, see poll)
+        self._sim3q: list[dict] = []
+        # bumped whenever a correction/GBA rewrites map geometry; an
+        # attempt whose stages straddle a bump holds stale poses/points
+        self._map_epoch = 0
         # in-flight post-loop global BA (the reference's GBA thread)
         self._gba = None
+
+    def _stage(self, name: str):
+        """Sub-stage timing context (no-op without a wired timer)."""
+        import contextlib
+
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
 
     # -- helpers -------------------------------------------------------------
 
@@ -117,29 +131,33 @@ class LoopCloser:
         same latency, LoopClosing.cc:72-98)."""
         from sivo_tpu.utils.fetch import device_get_async
 
-        words, _ = voc_mod.transform(
-            self.voc,
-            self._kf_bits(kf_idx, tracker),
-            tracker.kf_store.semantic[kf_idx]
-            if tracker is not None
-            else jnp.asarray(self.map.kf_data[kf_idx].semantic),
-        )
-        self._pending.append(
-            (kf_idx, device_get_async(words))
-        )
+        with self._stage("lc.begin"):
+            words, _ = voc_mod.transform(
+                self.voc,
+                self._kf_bits(kf_idx, tracker),
+                tracker.kf_store.semantic[kf_idx]
+                if tracker is not None
+                else jnp.asarray(self.map.kf_data[kf_idx].semantic),
+            )
+            self._pending.append(
+                (kf_idx, device_get_async(words))
+            )
 
     def poll(self, tracker, block: bool = False) -> list[int]:
         """Process pending keyframes whose word fetches landed.
         Returns keyframes at which a loop was closed."""
         closed: list[int] = []
         if self._gba is not None:
-            self._gba_advance(block)
+            with self._stage("lc.gba_step"):
+                self._gba_advance(block)
             if (
                 self._gba is not None
                 and self._gba["future"] is not None
                 and (block or self._gba["future"].done())
             ):
-                self._gba_apply(tracker)
+                with self._stage("lc.gba_apply"):
+                    self._gba_apply(tracker)
+        self._advance_sim3(tracker, closed, block)
         while self._pending and (
             block or self._pending[0][1].done()
         ):
@@ -151,21 +169,123 @@ class LoopCloser:
                 # KeyFrame.cc:459-573, serializes these in the
                 # reference)
                 continue
-            bow = voc_mod.bow_vector(self.voc, fut.result())
+            with self._stage("lc.bowvec"):
+                bow = voc_mod.bow_vector(self.voc, fut.result())
             # the reference runs Sim3 RANSAC over ALL consistency-
             # passing candidates and takes the first that converges
             # (ref: LoopClosing.cc:242-340) — one bad candidate must
-            # not kill a real loop
-            for cand in self._detect_loop(kf_idx, bow):
-                result = self._compute_sim3(kf_idx, cand, tracker)
-                if result is not None:
-                    self._correct_loop(tracker, kf_idx, cand, result)
-                    closed.append(kf_idx)
-                    self.loops_closed += 1
-                    self.last_loop_kf = kf_idx
-                    break
+            # not kill a real loop. The attempt runs as an ASYNC state
+            # machine (brute force -> RANSAC -> guided search, one
+            # in-flight fetch at a time) so the frame loop never stalls
+            # on its device round-trips — the deterministic equivalent
+            # of the reference's LoopClosing THREAD.
+            with self._stage("lc.detect"):
+                cands = self._detect_loop(kf_idx, bow)
+            if cands:
+                # admission control: each queued attempt costs real
+                # host-dispatch time per poll, and on self-similar
+                # corridor scenery consistency passes dozens of false
+                # candidates per lap. Newest-first matters more than
+                # completeness (the reference's thread also lags its
+                # queue); keep at most 2 attempts in flight.
+                if len(self._sim3q) < 2:
+                    self._sim3q.append(
+                        {
+                            "kf": kf_idx,
+                            "cands": list(cands),
+                            "stage": "new",
+                        }
+                    )
+                else:
+                    self.cap_binds["sim3_attempts_dropped"] = (
+                        self.cap_binds.get("sim3_attempts_dropped", 0)
+                        + 1
+                    )
             self.db.add(kf_idx, bow)
+        if self._sim3q:
+            self._advance_sim3(tracker, closed, block)
         return closed
+
+    def _advance_sim3(
+        self, tracker, closed: list[int], block: bool
+    ) -> None:
+        """Advance the in-flight Sim3 attempt queue. Non-blocking mode
+        performs at most one device dispatch and never waits on a
+        fetch; block mode drains the queue."""
+        m = self.map
+        while self._sim3q:
+            a = self._sim3q[0]
+            st = a["stage"]
+            if a.get("epoch", self._map_epoch) != self._map_epoch:
+                # a correction/GBA rewrote the geometry this attempt's
+                # stages were computed from
+                self._sim3q.pop(0)
+                continue
+            if st == "new":
+                if not a["cands"]:
+                    self._sim3q.pop(0)
+                    continue
+                cand = a["cands"].pop(0)
+                if not (m.kf_valid[a["kf"]] and m.kf_valid[cand]):
+                    continue
+                a["cand"] = cand
+                a["epoch"] = self._map_epoch
+                with self._stage("lc.sim3"):
+                    self._sim3_dispatch_bf(tracker, a)
+                a["stage"] = "bf_wait"
+                if not block:
+                    return
+            elif st == "bf_wait":
+                if not (block or a["fut"].done()):
+                    return
+                with self._stage("lc.sim3"):
+                    ok = self._sim3_after_bf(tracker, a)
+                if not ok:
+                    a["stage"] = "new"
+                    continue
+                a["stage"] = "ransac_wait"
+                if not block:
+                    return
+            elif st == "ransac_wait":
+                if not (block or a["fut"].done()):
+                    return
+                with self._stage("lc.sim3"):
+                    ok = self._sim3_after_ransac(tracker, a)
+                if not ok:
+                    a["stage"] = "new"
+                    continue
+                a["stage"] = "guided_wait"
+                if not block:
+                    return
+            elif st == "guided_wait":
+                if not (block or a["fut"].done()):
+                    return
+                with self._stage("lc.sim3"):
+                    g12_host = self._sim3_after_guided(a)
+                if g12_host is None:
+                    a["stage"] = "new"
+                    continue
+                kf_idx, cand = a["kf"], a["cand"]
+                if not (m.kf_valid[kf_idx] and m.kf_valid[cand]):
+                    self._sim3q.pop(0)
+                    continue
+                # the min-gap gate ran at DETECTION time; with the
+                # async pipeline a second attempt can pass detection
+                # before the first correction lands (measured: kf41 and
+                # kf42 both correcting, the second against a map the
+                # first had already moved). Re-check before applying.
+                if kf_idx < (
+                    self.last_loop_kf
+                    + self.cfg.loop.min_kfs_since_last_loop
+                ):
+                    self._sim3q.pop(0)
+                    continue
+                with self._stage("lc.correct"):
+                    self._correct_loop(tracker, kf_idx, cand, g12_host)
+                closed.append(kf_idx)
+                self.loops_closed += 1
+                self.last_loop_kf = kf_idx
+                self._sim3q.pop(0)
 
     def on_keyframe_culled(self, kf_idx: int) -> None:
         """Keep the inverted file coherent with keyframe culling
@@ -245,24 +365,42 @@ class LoopCloser:
             )
         return enough
 
-    def _compute_sim3(self, kf_idx: int, cand: int, tracker=None):
-        """ref: LoopClosing.cc:242-404 ComputeSim3 (single candidate;
-        BoW gating replaced by MXU brute-force with the same accept
-        tests)."""
+    # -- Sim3 attempt stages (ref: LoopClosing.cc:242-404 ComputeSim3;
+    # BoW gating replaced by MXU brute-force with the same accept
+    # tests; each stage dispatches device work + ONE async fetch and
+    # returns, so the attempt costs the frame loop no relay waits) ----
+
+    def _sim3_dispatch_bf(self, tracker, a: dict) -> None:
+        """Stage 1: brute-force descriptor matching between the two
+        keyframes (ref: LoopClosing.cc:249 SearchByBoW)."""
+        from sivo_tpu.utils.fetch import fetch_packed_async
+
+        kf_idx, cand = a["kf"], a["cand"]
+        a["pts1"] = self._kf_point_ids(kf_idx)
+        a["pts2"] = self._kf_point_ids(cand)
         d1 = self.map.kf_data[kf_idx]
         d2 = self.map.kf_data[cand]
-        pts1 = self._kf_point_ids(kf_idx)
-        pts2 = self._kf_point_ids(cand)
         m = matching.search_brute_force(
             self._kf_bits(kf_idx, tracker),
-            jnp.asarray(pts1 >= 0),
+            jnp.asarray(a["pts1"] >= 0),
             jnp.asarray(d1.angle),
             self._kf_bits(cand, tracker),
-            jnp.asarray(pts2 >= 0),
+            jnp.asarray(a["pts2"] >= 0),
             jnp.asarray(d2.angle),
             nn_ratio=0.75,  # ref: LoopClosing.cc:249
         )
-        dst = np.asarray(jax.device_get(m.dst_for_src))
+        a["fut"] = fetch_packed_async({"dst": m.dst_for_src})
+
+    def _sim3_after_bf(self, tracker, a: dict) -> bool:
+        """Stage 2: gate on match count, dispatch Sim3 RANSAC
+        (ref: LoopClosing.cc:262-340)."""
+        from sivo_tpu.utils.fetch import fetch_packed_async
+
+        kf_idx, cand = a["kf"], a["cand"]
+        pts1, pts2 = a["pts1"], a["pts2"]
+        d1 = self.map.kf_data[kf_idx]
+        d2 = self.map.kf_data[cand]
+        dst = a["fut"].result()["dst"].astype(np.int32)
         pairs = [
             (i, int(j)) for i, j in enumerate(dst)
             if j >= 0 and pts1[i] >= 0 and pts2[j] >= 0
@@ -273,7 +411,7 @@ class LoopCloser:
                 f" (need {self.cfg.loop.min_bow_matches})"
             )
         if len(pairs) < self.cfg.loop.min_bow_matches:  # ref: :277
-            return None
+            return False
         n_cap = 256
         pairs = pairs[:n_cap]
         idx1 = np.array([p[0] for p in pairs])
@@ -285,9 +423,9 @@ class LoopCloser:
         pc1 = pw1 @ T1[:3, :3].T + T1[:3, 3]
         pc2 = pw2 @ T2[:3, :3].T + T2[:3, 3]
 
-        def pad(a, shape):
+        def pad(arr, shape):
             out = np.zeros(shape, np.float32)
-            out[: len(a)] = a
+            out[: len(arr)] = arr
             return jnp.asarray(out)
 
         n = len(pairs)
@@ -306,31 +444,54 @@ class LoopCloser:
             self.cam,
             fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
         )
-        n_inl = int(jax.device_get(res.n_inliers))
+        a["res_g12"] = res.g12
+        a["fut"] = fetch_packed_async(
+            {
+                "n": res.n_inliers,
+                "s": res.g12.s,
+                "R": res.g12.R,
+                "t": res.g12.t,
+            }
+        )
+        return True
+
+    def _sim3_after_ransac(self, tracker, a: dict) -> bool:
+        """Stage 3: gate on RANSAC inliers, dispatch the guided
+        SearchBySim3 (ref: LoopClosing.cc:340-366)."""
+        from sivo_tpu.utils.fetch import fetch_packed_async
+
+        kf_idx, cand = a["kf"], a["cand"]
+        out = a["fut"].result()
+        n_inl = int(out["n"])
         if _DEBUG_LOOP:
             print(
                 f"[sim3 kf={kf_idx} cand={cand}] ransac_inliers="
                 f"{n_inl} (need {self.cfg.loop.sim3_ransac_min_inliers})"
             )
         if n_inl < self.cfg.loop.sim3_ransac_min_inliers:
-            return None
-        g12 = sim3.Sim3(
-            s=jnp.asarray(float(res.g12.s)),
-            R=res.g12.R,
-            t=res.g12.t,
+            return False
+        a["n_inl"] = n_inl
+        a["g12_host"] = (
+            float(out["s"]),
+            out["R"].astype(np.float64),
+            out["t"].astype(np.float64),
         )
-        # guided search for MORE correspondences through the Sim3
-        # (ref: LoopClosing.cc:340-366 SearchBySim3 + second
-        # OptimizeSim3), then the >= 40 total-match gate (ref: :393)
-        def cam_points(d, pts, T):
+        pts1, pts2 = a["pts1"], a["pts2"]
+        d1 = self.map.kf_data[kf_idx]
+        d2 = self.map.kf_data[cand]
+        T1 = self.map.kf_pose[kf_idx].astype(np.float64)
+        T2 = self.map.kf_pose[cand].astype(np.float64)
+        g12 = a["res_g12"]
+
+        def cam_points(pts, T):
             has = pts >= 0
             pw = np.zeros((len(pts), 3), np.float32)
             pw[has] = self.map.pt_pos[pts[has]]
             pc = pw @ T[:3, :3].T + T[:3, 3]
             return pc.astype(np.float32), has
 
-        pc1_all, has1 = cam_points(d1, pts1, T1)
-        pc2_all, has2 = cam_points(d2, pts2, T2)
+        pc1_all, has1 = cam_points(pts1, T1)
+        pc2_all, has2 = cam_points(pts2, T2)
         scales = jnp.asarray(
             self.cfg.orb.scale_factor
             ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
@@ -346,30 +507,61 @@ class LoopCloser:
             scales,
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
         )
-        m12_np = np.asarray(jax.device_get(m12))
+        a["fut"] = fetch_packed_async({"m12": m12})
+        return True
+
+    def _sim3_after_guided(self, a: dict):
+        """Stage 4: the >= 40 total-match accept gate
+        (ref: LoopClosing.cc:393). Returns the host (s, R, t) or None."""
+        kf_idx, cand = a["kf"], a["cand"]
+        m12_np = a["fut"].result()["m12"].astype(np.int32)
         n_total = int((m12_np >= 0).sum())
         if _DEBUG_LOOP:
             print(
                 f"[sim3 kf={kf_idx} cand={cand}] guided_total="
                 f"{n_total} (need {self.cfg.loop.min_total_matches})"
             )
-        if max(n_total, n_inl) < self.cfg.loop.min_total_matches:
+        if max(n_total, a["n_inl"]) < self.cfg.loop.min_total_matches:
             return None
-        return g12
+        return a["g12_host"]
 
     def _correct_loop(
-        self, tracker, kf_idx: int, cand: int, g12: sim3.Sim3
+        self, tracker, kf_idx: int, cand: int, g12_np: tuple
     ) -> None:
-        """ref: LoopClosing.cc:406-607 CorrectLoop + :663-765 GBA."""
+        """ref: LoopClosing.cc:406-607 CorrectLoop + :663-765 GBA.
+
+        ``g12_np``: host (s: float, R: (3,3) f64, t: (3,) f64) — already
+        fetched by the async Sim3 pipeline; all the window-seeding
+        similarity algebra below is host float64."""
         m = self.map
         K = m.n_keyframes
         old_poses = m.kf_pose[:K].copy()  # snapshot BEFORE any edit
         T1 = old_poses[kf_idx].astype(np.float64)
         T2 = old_poses[cand].astype(np.float64)
+
+        def _h_compose(a, b):
+            sa, Ra, ta = a
+            sb, Rb, tb = b
+            return (sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta)
+
+        def _h_inverse(g):
+            s, R, t = g
+            return (1.0 / s, R.T, -(R.T @ t) / s)
+
+        def _h_to_se3(g):
+            s, R, t = g
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t / s
+            return T
+
+        def _h_from_se3(T):
+            T = T.astype(np.float64)
+            return (1.0, T[:3, :3].copy(), T[:3, 3].copy())
+
         # corrected current pose: Scw_corr = g12 * S2w (current frame
         # expressed through the loop keyframe, ref: LoopClosing.cc:443)
-        g2w = sim3.from_se3(jnp.asarray(T2.astype(np.float32)))
-        g_corr_cw = sim3.compose(g12, g2w)
+        g_corr_cw = _h_compose(g12_np, _h_from_se3(T2))
 
         # correction for the covisible window of kf_idx — used only to
         # SEED the pose graph (ref: CorrectedSim3 map,
@@ -377,17 +569,31 @@ class LoopCloser:
         # OLD poses (ref: NonCorrectedSim3)
         covis = m.covisibility(kf_idx)
         window = set(np.where(covis > 0)[0].tolist()) | {kf_idx}
-        g_old_cw = sim3.from_se3(jnp.asarray(T1.astype(np.float32)))
-        delta = sim3.compose(
-            sim3.inverse(g_corr_cw), g_old_cw
+        # the delta window must NOT reach the candidate's (old, accurate)
+        # side of the seam: by the time the async Sim3 pipeline lands,
+        # revisit tracking may have re-attached old map points, making
+        # old keyframes covisible with the current one — delta-ing them
+        # would drag the very poses the loop is closing AGAINST
+        # (measured: kf1/kf2 ejected 1.8-3.8 m out of a locally-rigid
+        # chain; the reference's detection-time candidate exclusion
+        # guarantees this disjointness, LoopClosing.cc:127-135)
+        cand_covis = m.covisibility(cand)
+        cand_group = set(np.where(cand_covis > 0)[0].tolist()) | {cand}
+        window = (window - cand_group) | {kf_idx}
+        if _DEBUG_LOOP:
+            print(
+                f"[correct kf={kf_idx} cand={cand}] "
+                f"window={sorted(window)} "
+                f"cand_group={sorted(cand_group)}"
+            )
+        delta = _h_compose(
+            _h_inverse(g_corr_cw), _h_from_se3(T1)
         )  # old-world -> corrected-world
+        delta_inv = _h_inverse(delta)
         seed_poses = old_poses.copy()
         for k in window:
-            gk = sim3.from_se3(jnp.asarray(old_poses[k]))
-            gk_corr = sim3.compose(gk, sim3.inverse(delta))
-            seed_poses[k] = np.asarray(
-                jax.device_get(sim3.to_se3(gk_corr))
-            ).astype(np.float32)
+            gk_corr = _h_compose(_h_from_se3(old_poses[k]), delta_inv)
+            seed_poses[k] = _h_to_se3(gk_corr).astype(np.float32)
 
         # essential graph over all keyframes (ref: Optimizer.cc:928):
         # covisibility spanning tree (ref: KeyFrame.cc:410-414) +
@@ -395,10 +601,24 @@ class LoopCloser:
         # closures (ref: Optimizer.cc:1040-1056) + the new loop edge.
         # Odometry/covisibility measurements come from the OLD poses.
         E_cap = 4096
+
+        # edges whose OLD-pose measurement spans the seam encode the
+        # very drift the loop edge must remove — a revisit-stitched
+        # spanning-tree parent or a strong cross-seam covisibility edge
+        # directly contradicts the loop constraint and the solve tears
+        # the weaker side apart. The reference has no such edges at
+        # closure time (fusion, which creates cross-seam links, runs
+        # AFTER OptimizeEssentialGraph's edge collection,
+        # LoopClosing.cc:548, 575-607).
+        def _crosses_seam(i: int, j: int) -> bool:
+            return (i in window and j in cand_group) or (
+                j in window and i in cand_group
+            )
+
         edges_i, edges_j, meas = [], [], []
         for k in range(1, K):  # spanning tree
             p = int(m.kf_parent[k])
-            if p < 0:
+            if p < 0 or _crosses_seam(k, p):
                 p = k - 1
             edges_i.append(k)
             edges_j.append(p)
@@ -408,7 +628,7 @@ class LoopCloser:
             for j in np.where(
                 w >= self.cfg.loop.essential_edge_min_weight
             )[0]:
-                if j > k + 1:
+                if j > k + 1 and not _crosses_seam(int(j), k):
                     edges_i.append(int(j))
                     edges_j.append(k)
         for i, j in zip(edges_i, edges_j):
@@ -420,9 +640,7 @@ class LoopCloser:
             edges_i.append(li)
             edges_j.append(lj)
             meas.append(lT)
-        new_loop_T = np.asarray(
-            jax.device_get(sim3.to_se3(g12))
-        ).astype(np.float32)
+        new_loop_T = _h_to_se3(g12_np).astype(np.float32)
         edges_i.append(kf_idx)
         edges_j.append(cand)
         meas.append(new_loop_T)
@@ -470,10 +688,11 @@ class LoopCloser:
             meas_t=jnp.asarray(mt),
             edge_valid=jnp.asarray(ev),
         )
-        s, R, t = pose_graph.optimize_essential_graph(prob)
         from sivo_tpu.utils.fetch import fetch_packed
 
-        out = fetch_packed({"s": s, "R": R, "t": t})
+        with self._stage("lc.correct.graph"):
+            s, R, t = pose_graph.optimize_essential_graph(prob)
+            out = fetch_packed({"s": s, "R": R, "t": t})
         # SE3 recovery + point correction through reference keyframes
         # (ref: Optimizer.cc:1188-1233)
         for k in range(K):
@@ -501,6 +720,16 @@ class LoopCloser:
                 Xc @ Tn_inv[:3, :3].T + Tn_inv[:3, 3]
             ).astype(np.float32)
 
+        if _DEBUG_LOOP:
+            np.savez(
+                f"/tmp/sivo_loop_kf{kf_idx}.npz",
+                old_poses=old_poses,
+                seed_poses=seed_poses,
+                graph_poses=m.kf_pose[:K].copy(),
+                window=np.array(sorted(window)),
+                cand_group=np.array(sorted(cand_group)),
+                edges=np.stack([ei[:E], ej[:E]], 1),
+            )
         # push corrected points to the device map
         n_pts = m.n_points
         ids = np.arange(n_pts, dtype=np.int32)
@@ -514,14 +743,16 @@ class LoopCloser:
         )
         # fuse the duplicated geometry a loop creates
         # (ref: LoopClosing.cc:548, 609-635 SearchAndFuse)
-        self._search_and_fuse(tracker, kf_idx, cand, window)
+        with self._stage("lc.correct.fuse"):
+            self._search_and_fuse(tracker, kf_idx, cand, window)
         # full-map bundle adjustment on the corrected graph, dispatched
         # asynchronously like the reference's GBA THREAD
         # (ref: LoopClosing.cc:600-601 -> RunGlobalBundleAdjustment);
         # the solution lands in ``poll`` and is propagated to keyframes
         # and points created meanwhile (ref: LoopClosing.cc:663-765).
         # A newer closure supersedes an in-flight solve (mnFullBAIdx).
-        self._gba_dispatch(tracker, kf_idx, cand)
+        with self._stage("lc.correct.gba_dispatch"):
+            self._gba_dispatch(tracker, kf_idx, cand)
         # re-anchor the tracker on the corrected current keyframe
         # (ref: Tracking.cc:641-646 UpdateLastFrame semantics)
         def _c(T):
@@ -540,11 +771,27 @@ class LoopCloser:
                     ),
                     3,
                 ),
+                "center_old": [
+                    round(float(v), 3) for v in _c(old_poses[kf_idx])
+                ],
+                "center_new": [
+                    round(float(v), 3) for v in _c(m.kf_pose[kf_idx])
+                ],
+                "center_cand": [
+                    round(float(v), 3) for v in _c(m.kf_pose[cand])
+                ],
+                "fuse_merges": getattr(
+                    self, "_last_fuse_stats", (0, 0)
+                )[0],
+                "fuse_new_obs": getattr(
+                    self, "_last_fuse_stats", (0, 0)
+                )[1],
             }
         )
         tracker.apply_world_correction(
             old_poses[kf_idx], m.kf_pose[kf_idx]
         )
+        self._map_epoch += 1
 
     def _search_and_fuse(
         self, tracker, kf_idx: int, cand: int, window: set
@@ -555,6 +802,7 @@ class LoopCloser:
         free keypoints gain observations of loop points."""
         from sivo_tpu.runtime.mapping import _fuse_gather_program
 
+        self._last_fuse_stats = (0, 0)
         m = self.map
         # loop map points: seen by the candidate's covisible group
         cand_group = [cand] + [
@@ -605,6 +853,7 @@ class LoopCloser:
         )
         obs_counts = m.point_obs_counts()
         replaced: dict[int, int] = {}
+        n_new_obs = 0
         for i, k in enumerate(targets):
             src = src_all[i]
             kf_pts = self._kf_point_ids(k)
@@ -618,6 +867,7 @@ class LoopCloser:
             free = existing < 0
             if free.any():
                 m.add_observations(k, pid[free], hit_kp[free])
+                n_new_obs += int(free.sum())
             conf = (~free) & (existing != pid)
             for kp_i, p_i, e_i in zip(
                 hit_kp[conf], pid[conf], existing[conf]
@@ -638,6 +888,9 @@ class LoopCloser:
             tracker.dmap = device_map.invalidate_points(
                 tracker.dmap, jnp.asarray(kill_ids)
             )
+        # _correct_loop appends the loop_events entry AFTER this call —
+        # stash the seam stats for it to pick up
+        self._last_fuse_stats = (len(replaced), n_new_obs)
 
     # global BA caps. Small maps use the dense Schur solver (one
     # one-shot (P, K, 6, 3) cross buffer); beyond GBA_KF keyframes the
@@ -646,9 +899,13 @@ class LoopCloser:
     GBA_KF = 64
     GBA_PT = 8192
     GBA_OBS = 24576
-    GBA_KF_BIG = 256
-    GBA_PT_BIG = 32768
-    GBA_OBS_BIG = 98304  # 96 chunks of O_CHUNK
+    # chunked-solver buckets, smallest-fit: the scan body's per-chunk
+    # cross blocks are O(o_chunk * K_cap * 18) so an oversized KF cap
+    # multiplies every iteration's HBM traffic (K 256 -> 64 is ~4x)
+    GBA_BUCKETS = (
+        (64, 16384, 49152),  # MID: one-lap-scale maps
+        (256, 32768, 98304),  # BIG: endurance-scale maps
+    )
     O_CHUNK = 1024
 
     def _gba_dispatch(self, tracker, kf_idx: int, cand: int) -> None:
@@ -677,7 +934,12 @@ class LoopCloser:
             or n_obs_all > self.GBA_OBS
             or n_pts_all > self.GBA_PT
         )
-        kf_cap = self.GBA_KF_BIG if chunked else self.GBA_KF
+        bucket = self.GBA_BUCKETS[-1]
+        for b in self.GBA_BUCKETS:  # smallest fitting bucket
+            if K <= b[0] and n_pts_all <= b[1] and n_obs_all <= b[2]:
+                bucket = b
+                break
+        kf_cap = bucket[0] if chunked else self.GBA_KF
         if K <= kf_cap:
             kfs = list(range(K))
         else:
@@ -698,8 +960,8 @@ class LoopCloser:
         fixed = np.array([k == 0 for k in kfs], bool)  # ref: :114
         if chunked:
             built = ba_build.build_problem(
-                m, kfs, fixed, self.GBA_KF_BIG, self.GBA_PT_BIG,
-                self.GBA_OBS_BIG, self.cfg.orb.scale_factor,
+                m, kfs, fixed, bucket[0], bucket[1],
+                bucket[2], self.cfg.orb.scale_factor,
                 o_chunk=self.O_CHUNK,
             )
         else:
@@ -710,6 +972,7 @@ class LoopCloser:
         if built is None:
             return
         prob, ctx = built
+        ctx["loop_kf"] = kf_idx
         if ctx.get("truncated_obs") or ctx.get("truncated_pts"):
             self.cap_binds["gba_truncated"] = (
                 self.cap_binds.get("gba_truncated", 0) + 1
@@ -888,3 +1151,10 @@ class LoopCloser:
             old = pre.get(ref)
             if old is not None:
                 tracker.apply_world_correction(old, m.kf_pose[ref])
+        self._map_epoch += 1
+        if _DEBUG_LOOP:
+            np.savez(
+                f"/tmp/sivo_gba_kf{g['ctx'].get('loop_kf', 0)}.npz",
+                pre=np.stack([pre[k] for k in range(K_now)]),
+                post=m.kf_pose[:K_now].copy(),
+            )

@@ -278,14 +278,24 @@ class LocalMapper:
             # triangulation/fusion changed the local point set: push
             # the covisible id list the tracker matches against
             tracker.refresh_local_map_latest()
-            # local BA runs only when no newer keyframe is waiting —
-            # the reference's exact interleave (LocalMapping.cc:80-88:
-            # BA only if !CheckNewKeyFrames(), i.e. queued keyframes
-            # abort/skip the solve and the last keyframe's BA covers
-            # the window)
-            if self.map.n_keyframes >= 2 and not self._queue:
+            # local BA runs when no newer keyframe is waiting — the
+            # reference's interleave (LocalMapping.cc:80-88: BA only if
+            # !CheckNewKeyFrames()). The reference's mapper thread
+            # drains its queue in milliseconds, so its BA still runs
+            # for most keyframes; OUR phase-1 round-trips ride the
+            # ~110 ms relay, so corner-entry keyframe bursts keep the
+            # queue non-empty for a dozen keyframes straight and BA
+            # starves exactly where drift accrues fastest (measured:
+            # 11 BA solves over 45 KFs, y-drift bursts at every corner).
+            # Floor the cadence: never more than 2 keyframes without a
+            # solve — the 16-KF window still covers every keyframe.
+            self._kfs_since_ba = getattr(self, "_kfs_since_ba", 0) + 1
+            if self.map.n_keyframes >= 2 and (
+                not self._queue or self._kfs_since_ba >= 2
+            ):
                 with self._stage("map.ba_dispatch"):
                     self._ba = self._ba_dispatch(tracker, kf_idx)
+                self._kfs_since_ba = 0
             if self._ba is None:
                 done.append(kf_idx)
         if self._phase1 is None and self._queue:

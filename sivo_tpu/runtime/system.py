@@ -84,6 +84,7 @@ class System:
         self._frame_no = 0
 
     def _wire_loop_closer(self) -> None:
+        self.loop_closer.timer = self.timer
         self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
         self.mapper.kf_protected = lambda: {
             k
@@ -160,7 +161,8 @@ class System:
                 return pose
             if compact_mod.should_compact(self):
                 self._compact()
-            self.tracker.dispatch(f, timestamp)
+            with self.timer.stage("track.dispatch"):
+                self.tracker.dispatch(f, timestamp)
             self._advance_mapping()
             if pipeline:
                 # retire only once the queue exceeds the pipeline
@@ -193,6 +195,10 @@ class System:
                         or (prev_trk > 0 and trk < 0.78 * prev_trk)
                     )
                 )
+                if crisis:
+                    self.crisis_frames = (
+                        getattr(self, "crisis_frames", 0) + 1
+                    )
                 depth = 0 if crisis else self.pipeline_depth
                 pose_prev = None
                 while self.tracker.inflight_count > depth:
