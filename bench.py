@@ -183,6 +183,20 @@ def _warm_loop_programs(system) -> None:
         }
     )
 
+    # capacity-shaped device-map writes: loop correction / GBA apply
+    # push ALL point positions at dmap.capacity shape — a different
+    # program than mapping's MAX_BA_PT-shaped write-back, so its first
+    # compile (~seconds) otherwise lands inside lc.correct
+    from sivo_tpu.runtime import device_map as dm_mod
+
+    cap = system.tracker.dmap.capacity
+    system.tracker.dmap = dm_mod.set_positions(
+        system.tracker.dmap,
+        jnp.full(cap, -1, jnp.int32),
+        jnp.zeros((cap, 3)),
+    )
+    _ = fetch_packed({"p": system.tracker.dmap.pt_pos[:1]})
+
     # chunked full-map GBA (the path taken once the map outgrows the
     # dense caps — the bench map does by the first loop closure).
     # Buckets are smallest-fit; warm MID always, BIG only for
@@ -334,7 +348,13 @@ def main() -> None:
     # point capacity sized to the scene (~10k live points): every
     # frame's frustum check + top-k scans the FULL capacity, so a
     # 131k-slot map pays 4x the per-frame HBM traffic of a 32k one
-    system = System(cfg=cfg, max_keyframes=256, max_points=32768)
+    system = System(
+        cfg=cfg, max_keyframes=256, max_points=32768,
+        # depth 3: the ~110 ms relay RTT needs three frame periods of
+        # slack before the retire wait disappears (measured: depth 2
+        # -> 3 took 3.7 -> 4.6 FPS and halved crisis entries)
+        pipeline_depth=int(os.environ.get("SIVO_BENCH_DEPTH", "3")),
+    )
 
     built = {}
 
@@ -464,8 +484,8 @@ def main() -> None:
     # The first frames refill the pipeline (their summaries pay the
     # full relay RTT), so time only the steady-state tail.
     system.activate_localization_mode()
-    n_loc = 16
-    n_fill = 4
+    n_loc = 64  # >= 50 timed frames (round-2 review: 12 was noise)
+    n_fill = 8
     t0 = None
     for k, i in enumerate(range(n_frames - n_loc, n_frames)):
         if k == n_fill:
@@ -560,6 +580,9 @@ def main() -> None:
             "ms_per_frame": round(dt * 1000, 1),
             "tracking_only_fps": round(fps_tracking, 2),
             "crisis_frames": getattr(system, "crisis_frames", 0),
+            "phase1_fetch_mb": round(
+                getattr(system.mapper, "fetch_bytes", 0) / 1e6, 1
+            ),
             "stage_mean_ms": stage_ms,
             "stage_total_s": {
                 name: round(system.timer.totals[name], 2)

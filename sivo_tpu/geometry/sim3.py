@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sivo_tpu.geometry import se3
@@ -88,7 +89,10 @@ def horn_alignment(
     q1 = p1 - c1
     q2 = p2 - c2
     H = hmat(jnp.swapaxes(q2, -1, -2), q1)  # (..., 3, 3)
-    U, _, Vt = jnp.linalg.svd(H)
+    # bf16-default SVD iterations yield non-orthonormal U/V -> a scaled
+    # R that poisons every downstream pose product (see pnp._kabsch)
+    with jax.default_matmul_precision("highest"):
+        U, _, Vt = jnp.linalg.svd(H)
     det = jnp.linalg.det(
         hmat(jnp.swapaxes(Vt, -1, -2), jnp.swapaxes(U, -1, -2))
     )

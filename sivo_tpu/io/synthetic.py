@@ -576,13 +576,28 @@ def structured_semantics(
 
 
 def ate_rmse(est_cw: np.ndarray, gt_cw: np.ndarray) -> float:
-    """Absolute trajectory error (RMSE of camera-center distances after
-    first-pose alignment) — the SURVEY §6 parity metric."""
+    """Absolute trajectory error: RMSE of camera-center distances after
+    least-squares SE3 (Umeyama, no scale) alignment — the SURVEY §6
+    parity metric matches ``evo_ape`` semantics, whose default aligns
+    trajectories globally. (First-pose-only alignment lets any initial
+    sub-degree yaw error grow linearly along the path and dominate the
+    reported RMSE.)"""
 
     def centers(T):
-        return np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in T])
+        return np.stack(
+            [
+                -(P[:3, :3].T.astype(np.float64)
+                  @ P[:3, 3].astype(np.float64))
+                for P in T
+            ]
+        )
 
-    A = np.linalg.inv(gt_cw[0]) @ est_cw[0]
-    est_aligned = np.stack([P @ np.linalg.inv(A) for P in est_cw])
-    ce, cg = centers(est_aligned), centers(gt_cw)
-    return float(np.sqrt(np.mean(np.sum((ce - cg) ** 2, axis=-1))))
+    ce, cg = centers(est_cw), centers(gt_cw)
+    mu_e, mu_g = ce.mean(0), cg.mean(0)
+    H = (ce - mu_e).T @ (cg - mu_g)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    t = mu_g - R @ mu_e
+    ce_al = ce @ R.T + t
+    return float(np.sqrt(np.mean(np.sum((ce_al - cg) ** 2, axis=-1))))

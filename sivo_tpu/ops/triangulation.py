@@ -178,7 +178,10 @@ def _triangulate_pair_impl(
         ],
         axis=1,
     )  # (N, 4, 4)
-    _, _, Vt = jnp.linalg.svd(A)
+    with jax.default_matmul_precision("highest"):
+        # bf16-default SVD: percent-level null-vector error -> metres
+        # of triangulation error at KITTI depths
+        _, _, Vt = jnp.linalg.svd(A)
     xh = Vt[:, 3, :]
     w = xh[:, 3]
     xw = xh[:, :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)[:, None]

@@ -42,7 +42,13 @@ def _kabsch(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     cs = jnp.mean(src, axis=-2, keepdims=True)
     cd = jnp.mean(dst, axis=-2, keepdims=True)
     H = hmat(jnp.swapaxes(src - cs, -1, -2), dst - cd)
-    U, _, Vt = jnp.linalg.svd(H)
+    # the SVD's internal iterations MUST NOT run at the TPU's bf16
+    # matmul default: percent-level non-orthonormal U/V bake a SCALE
+    # into R, and every downstream exp-update pose product PRESERVES
+    # it — measured as det(R) compounding 1.0 -> 1.5 over an
+    # anchor-heavy burst, corrupting the whole session's trajectory
+    with jax.default_matmul_precision("highest"):
+        U, _, Vt = jnp.linalg.svd(H)
     det = jnp.linalg.det(hmat(jnp.swapaxes(Vt, -1, -2),
                               jnp.swapaxes(U, -1, -2)))
     D = jnp.zeros_like(H)
@@ -71,7 +77,8 @@ def _epnp(
     c0 = jnp.mean(pw, axis=-2)
     centered = pw - c0[..., None, :]
     cov = hmat(jnp.swapaxes(centered, -1, -2), centered) / m
-    evals, evecs = jnp.linalg.eigh(cov)
+    with jax.default_matmul_precision("highest"):
+        evals, evecs = jnp.linalg.eigh(cov)
     scale = jnp.sqrt(jnp.maximum(evals, 1e-10))
     ctrl = jnp.concatenate(
         [
@@ -102,7 +109,8 @@ def _epnp(
     ).reshape(*alphas.shape[:-1], 12)
     Mm = jnp.concatenate([row_u, row_v], axis=-2)  # (..., 2M, 12)
     MtM = hmat(jnp.swapaxes(Mm, -1, -2), Mm)
-    _, vecs = jnp.linalg.eigh(MtM)
+    with jax.default_matmul_precision("highest"):
+        _, vecs = jnp.linalg.eigh(MtM)
     vsmall = vecs[..., :, 0]  # (..., 12): smallest eigenvector
 
     # camera control points = beta * v (sign/scale from distances,

@@ -235,6 +235,12 @@ class LocalMapper:
                 ctx_tri = self._tri_dispatch(tracker, kf_idx, outs)
                 ctx_fuse = self._fuse_dispatch(tracker, kf_idx, outs)
             future = fetch_packed_async(outs)
+            # relay-channel accounting: every fetched float32 element
+            # costs shared down-link time the per-frame summary then
+            # queues behind
+            self.fetch_bytes = getattr(self, "fetch_bytes", 0) + sum(
+                int(np.prod(a.shape)) * 4 for a in outs.values()
+            )
         self._phase1 = {
             "kf": kf_idx,
             "ctx_cull": ctx_cull,

@@ -569,6 +569,23 @@ def track_step(
         )
     )
     min_inl = jnp.where(anchor_override, 20, 30)
+
+    # Defense in depth: re-orthonormalize the selected rotation every
+    # frame. The EPnP/Sim3 SVDs are precision-guarded, but ANY residual
+    # non-orthonormality in a pose is PRESERVED by all exp-update
+    # products and compounds multiplicatively through the velocity
+    # chain (measured pre-guard: det(R) 1.0 -> 1.5 over one
+    # anchor-heavy burst). One Gram-Schmidt per frame caps the defect
+    # at f32 round-off forever.
+    def _renorm(T):
+        R = T[:3, :3]
+        r0 = R[0] / jnp.maximum(jnp.linalg.norm(R[0]), 1e-12)
+        r2 = jnp.cross(r0, R[1])
+        r2 = r2 / jnp.maximum(jnp.linalg.norm(r2), 1e-12)
+        r1 = jnp.cross(r2, r0)
+        return T.at[:3, :3].set(jnp.stack([r0, r1, r2]))
+
+    T_sel = _renorm(T_sel)
     # Lost-state recovery: with no velocity the stage-1 gates cannot
     # pass unless the anchor clears its >=15-match bar against a
     # possibly-rotated-away reference view — measured: a corner-apex
