@@ -335,15 +335,35 @@ def main() -> None:
     # creation, which no real posterior produces). Quantized uploads
     # (confidence u8, entropy f16): raster bytes are the frame-loop
     # bottleneck.
-    sem_frames = []
-    for c in clsmaps:
-        cls_r, conf_r, ent_r = synthetic.structured_semantics(c, seed=7)
-        sem_frames.append((
-            np.asarray(cls_r, np.uint8),
-            np.clip(np.asarray(conf_r) * 255.0, 0, 255).astype(np.uint8),
-            np.clip(np.asarray(ent_r) * 32.0, 0, 255).astype(np.uint8),
-        ))
-    use_cnn = jnp.asarray(False)
+    # the smooth uncertainty field is frame-CONSTANT: upload it once
+    # and derive per-frame confidence/entropy ON DEVICE from the class
+    # raster (class-boundary dilation) — only one u8 raster per frame
+    # crosses the relay instead of three
+    field_dev = jnp.asarray(
+        synthetic.structured_semantics_field(clsmaps[0].shape, seed=7)
+    )
+    cls_frames = [np.asarray(c, np.uint8) for c in clsmaps]
+
+    @jax.jit
+    def sem_device(cls_u8):
+        conf, ent = synthetic.structured_semantics_device(
+            cls_u8, field_dev
+        )
+        return conf, ent
+
+    # SIVO_BENCH_CNN=1: consume the REAL MC-dropout posterior of a net
+    # trained on this scene (tools/train_bench_segnet.py writes the
+    # caffemodel) — the reference's actual semantic path
+    # (bayesian_segnet.cpp:299-318). Default: renderer-derived rasters
+    # (no trained weights ship with the reference checkout, BASELINE.md).
+    cnn_model_path = "/tmp/sivo_bench_segnet.caffemodel"
+    cnn_mode = bool(int(_os.environ.get("SIVO_BENCH_CNN", "0")))
+    if cnn_mode and not _os.path.exists(cnn_model_path):
+        raise SystemExit(
+            f"SIVO_BENCH_CNN=1 but {cnn_model_path} missing — run "
+            "tools/train_bench_segnet.py first"
+        )
+    use_cnn = jnp.asarray(cnn_mode)
 
     # point capacity sized to the scene (~10k live points): every
     # frame's frustum check + top-k scans the FULL capacity, so a
@@ -355,6 +375,13 @@ def main() -> None:
         # -> 3 took 3.7 -> 4.6 FPS and halved crisis entries)
         pipeline_depth=int(os.environ.get("SIVO_BENCH_DEPTH", "3")),
     )
+    if cnn_mode:
+        from sivo_tpu.models import caffe_io
+
+        system.segnet_params = caffe_io.merge_params(
+            system.segnet_params,
+            caffe_io.load_segnet_params(cnn_model_path, "basic"),
+        )
 
     built = {}
 
@@ -363,16 +390,15 @@ def main() -> None:
             return
         with system.timer.stage("build_frame"):
             j = src(i)
+            cls_dev = jnp.asarray(cls_frames[j])
+            conf_dev, ent_dev = sem_device(cls_dev)
             built[i] = frame_mod.build_frame(
                 system.model, system.segnet_params, system.statics,
                 jnp.asarray(left_color[j]),
                 jnp.asarray(right[j]),
                 jax.random.key(i),
                 sem_override=(
-                    jnp.asarray(sem_frames[j][0]),
-                    jnp.asarray(sem_frames[j][1]),
-                    jnp.asarray(sem_frames[j][2]),
-                    use_cnn,
+                    cls_dev, conf_dev, ent_dev, use_cnn,
                 ),
             )
 
@@ -526,6 +552,7 @@ def main() -> None:
             "kitti_geometry_sivo_seq_fps"
             if seq_mode else "kitti_geometry_sivo_fps"
         ),
+        **({"semantics": "trained_cnn"} if cnn_mode else {}),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10.0, 3),
@@ -535,6 +562,9 @@ def main() -> None:
             # raw loss events (pre-reloc); lost_final = records still
             # lost after relocalization rewrites
             "lost": getattr(system.tracker, "raw_lost", 0),
+            "lost_frames": getattr(
+                system.tracker, "raw_lost_frames", []
+            )[:32],
             "lost_final": n_lost_all,
             "resets": n_resets,
             "reloc_attempts": getattr(system, "reloc_attempts", 0),

@@ -575,6 +575,81 @@ def structured_semantics(
     return classes.astype(np.uint8), conf, ent
 
 
+def structured_semantics_field(
+    shape: tuple[int, int], seed: int = 0
+) -> np.ndarray:
+    """The frame-CONSTANT smooth uncertainty field of
+    ``structured_semantics`` (host, cv2 cubic resize), in [0, 1].
+    Upload once; per-frame entropy derives on device from this field
+    plus the class raster (``structured_semantics_device``)."""
+    import cv2
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0, 1, (h // 16 + 1, w // 16 + 1)).astype(
+        np.float32
+    )
+    field = cv2.resize(coarse, (w, h), interpolation=cv2.INTER_CUBIC)
+    return np.clip(field, 0.0, 1.0)
+
+
+def structured_semantics_device(
+    classes,  # (H, W) uint8 device array
+    field,  # (H, W) float32 device array in [0, 1]
+    base_entropy: float = 0.02,
+    noise_entropy: float = 1.8,
+    boundary_entropy: float = 3.0,
+):
+    """Device twin of ``structured_semantics``'s per-frame math: class
+    boundaries (4-neighbour difference ~ cv2.Laplacian != 0) dilated
+    5x5, entropy = max(base + noise * field^3, boundary * edges),
+    confidence anticorrelated. Saves 2 of the 3 per-frame raster
+    uploads through the relay (the field never changes)."""
+    import jax.numpy as jnp
+
+    c = classes.astype(jnp.float32)
+
+    def shift(x, d, ax):
+        """Edge-clamped shift (matches cv2's reflected border closely
+        enough that border pixels do not fabricate class edges; a
+        wrap-around roll would join opposite image edges)."""
+        y = jnp.roll(x, d, ax)
+        if ax == 0:
+            if d > 0:
+                y = y.at[:d, :].set(x[:1, :])
+            else:
+                y = y.at[d:, :].set(x[-1:, :])
+        else:
+            if d > 0:
+                y = y.at[:, :d].set(x[:, :1])
+            else:
+                y = y.at[:, d:].set(x[:, -1:])
+        return y
+
+    lap = (
+        shift(c, 1, 0) + shift(c, -1, 0)
+        + shift(c, 1, 1) + shift(c, -1, 1) - 4.0 * c
+    )
+    edges = (lap != 0).astype(jnp.float32)
+    # 5x5 dilation as two separable 1D max passes
+    for ax in (0, 1):
+        edges = jnp.maximum(
+            jnp.maximum(
+                shift(edges, 2, ax), shift(edges, 1, ax)
+            ),
+            jnp.maximum(
+                edges,
+                jnp.maximum(
+                    shift(edges, -1, ax), shift(edges, -2, ax)
+                ),
+            ),
+        )
+    ent = base_entropy + noise_entropy * field ** 3
+    ent = jnp.maximum(ent, boundary_entropy * edges)
+    conf = jnp.clip(1.0 - ent / 3.9, 0.05, 0.995)
+    return conf, ent
+
+
 def ate_rmse(est_cw: np.ndarray, gt_cw: np.ndarray) -> float:
     """Absolute trajectory error: RMSE of camera-center distances after
     least-squares SE3 (Umeyama, no scale) alignment — the SURVEY §6

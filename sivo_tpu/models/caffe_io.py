@@ -198,6 +198,74 @@ def load_segnet_params(
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# minimal protobuf wire encoding (writer — the inverse of the loader)
+# ---------------------------------------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _encode_blob(arr: np.ndarray) -> bytes:
+    """BlobProto: shape (field 7, BlobShape with packed dims) + packed
+    float data (field 5)."""
+    arr = np.asarray(arr, np.float32)
+    dims = b"".join(_varint(int(d)) for d in arr.shape)
+    shape_msg = _ld(1, dims) if arr.ndim else b""
+    return _ld(7, shape_msg) + _ld(5, arr.reshape(-1).tobytes())
+
+
+def _encode_layer(
+    name: str, type_: str, blobs: list[np.ndarray]
+) -> bytes:
+    msg = _ld(1, name.encode()) + _ld(2, type_.encode())
+    for b in blobs:
+        msg += _ld(7, _encode_blob(b))
+    return msg
+
+
+def save_segnet_params(path: str, params: dict[str, Any]) -> None:
+    """Write a SegNet params pytree as a .caffemodel (NetParameter with
+    LayerParameter entries, the inverse of ``load_segnet_params``).
+
+    The reference only LOADS caffemodels (bayesian_segnet.cpp:59-61);
+    this writer exists so a net trained in this framework round-trips
+    through the reference's weight format (conv kernels transposed back
+    to Caffe's (O, I, KH, KW); CaffeBN written in the 4-blob
+    scale/shift/mean/var form so running stats survive)."""
+    tree = params.get("params", params)
+    out = b""
+    for name, sub in tree.items():
+        if "kernel" in sub:
+            w = np.transpose(np.asarray(sub["kernel"]), (3, 2, 0, 1))
+            blobs = [w]
+            if "bias" in sub:
+                blobs.append(np.asarray(sub["bias"]).reshape(-1))
+            out += _ld(100, _encode_layer(name, "Convolution", blobs))
+        elif "scale" in sub:
+            blobs = [
+                np.asarray(sub[k]).reshape(-1)
+                for k in ("scale", "shift", "mean", "var")
+            ]
+            out += _ld(100, _encode_layer(name, "BN", blobs))
+    with open(path, "wb") as f:
+        f.write(out)
+
+
 def merge_params(
     init_params: dict[str, Any], loaded: dict[str, Any]
 ) -> dict[str, Any]:

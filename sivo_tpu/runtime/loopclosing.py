@@ -413,6 +413,10 @@ class LoopCloser:
         if len(pairs) < self.cfg.loop.min_bow_matches:  # ref: :277
             return False
         n_cap = 256
+        if len(pairs) > n_cap:
+            self.cap_binds["sim3_pairs"] = (
+                self.cap_binds.get("sim3_pairs", 0) + 1
+            )
         pairs = pairs[:n_cap]
         idx1 = np.array([p[0] for p in pairs])
         idx2 = np.array([p[1] for p in pairs])

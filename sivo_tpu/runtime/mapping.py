@@ -811,6 +811,10 @@ class LocalMapper:
             else:
                 frontier = []
         kfs = local + frontier
+        if len(kfs) > MAX_BA_KF:
+            self.cap_binds["ba_kfs"] = (
+                self.cap_binds.get("ba_kfs", 0) + 1
+            )
         kfs = kfs[:MAX_BA_KF]
         kf_slot = {k: i for i, k in enumerate(kfs)}
         n_fixed_start = len(local)

@@ -64,6 +64,7 @@ class System:
 
         self.timer = StageTimer()
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
+        self.tracker.timer = self.timer
         self.mapper = LocalMapper(
             cfg=self.cfg, map=self.map, cam=self.tracker.cam,
             timer=self.timer,
@@ -532,6 +533,7 @@ class System:
         self.map.clear()
         old_count = self.tracker.frame_count
         old_raw_lost = getattr(self.tracker, "raw_lost", 0)
+        old_raw_lost_frames = getattr(self.tracker, "raw_lost_frames", [])
         self.tracker = Tracker(cfg=self.cfg, map=self.map)
         # frame ids stay sequence-global across resets so trajectory
         # records align with ground truth by frame_id (a fresh counter
@@ -539,6 +541,8 @@ class System:
         # START of ground truth)
         self.tracker.frame_count = old_count
         self.tracker.raw_lost = old_raw_lost
+        self.tracker.raw_lost_frames = old_raw_lost_frames
+        self.tracker.timer = self.timer
         self.mapper = LocalMapper(
             cfg=self.cfg, map=self.map, cam=self.tracker.cam,
             timer=self.timer,

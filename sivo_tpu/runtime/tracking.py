@@ -338,7 +338,14 @@ class Tracker:
         # next frame's local-map frustum stage instead
         stale = len(self._inflight) > 0
         self.kf_created = None
-        summary = ticket.summary_future.result()
+        timer = getattr(self, "timer", None)
+        if timer is not None:
+            # split the dominant retire cost: relay wait for the
+            # summary fetch vs the host policy that follows
+            with timer.stage("track.retire.wait"):
+                summary = ticket.summary_future.result()
+        else:
+            summary = ticket.summary_future.result()
         self.last_summary = summary  # debug/introspection
         fid, timestamp = ticket.frame_id, ticket.timestamp
         import os
@@ -366,6 +373,9 @@ class Tracker:
             # raw loss event (pre-relocalization): a later successful
             # reloc rewrites the trajectory record but not this counter
             self.raw_lost = getattr(self, "raw_lost", 0) + 1
+            if not hasattr(self, "raw_lost_frames"):
+                self.raw_lost_frames = []
+            self.raw_lost_frames.append(int(fid))
             self.state = TrackingState.LOST
             self.trajectory.append(
                 FrameRecord(

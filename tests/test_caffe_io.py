@@ -152,3 +152,29 @@ def test_shape_mismatch_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="shape"):
         caffe_io.merge_params(init, loaded)
+
+
+def test_writer_roundtrip(tmp_path):
+    """save_segnet_params -> load_segnet_params -> merge_params must
+    reproduce the full basic-variant tree bit-exactly (the writer is
+    the loader's inverse; the reference only loads,
+    bayesian_segnet.cpp:59-61)."""
+    init = segnet.init_params(
+        segnet.SegNet(variant="basic"), jax.random.key(3), 32, 64
+    )
+    # make BN stats non-trivial so the 4-blob form is exercised
+    p = jax.tree.map(np.asarray, init)
+    for name, sub in p["params"].items():
+        if "mean" in sub:
+            sub["mean"] = sub["mean"] + 0.25
+            sub["var"] = sub["var"] * 1.5
+    path = tmp_path / "rt.caffemodel"
+    caffe_io.save_segnet_params(str(path), p)
+    loaded = caffe_io.load_segnet_params(str(path), "basic")
+    merged = caffe_io.merge_params(init, loaded)
+    flat_a = jax.tree_util.tree_leaves_with_path(p)
+    flat_b = jax.tree_util.tree_leaves_with_path(merged)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
