@@ -451,9 +451,23 @@ def main() -> None:
     system.timer.counts.clear()
     system.timer.samples.clear()
 
+    progress = int(os.environ.get("SIVO_BENCH_PROGRESS", "0"))
     t0 = time.time()
     for i in range(warm, n_frames):
         run_frame(i)
+        if progress and i % progress == 0:
+            import sys
+
+            print(
+                f"# f={i}/{n_frames} kf={system.map.n_keyframes} "
+                f"pts={int(system.map.pt_valid[:system.map.n_points].sum())} "
+                f"slots={system.map.n_points} "
+                f"compactions={getattr(system, 'compactions', 0)} "
+                f"lost={getattr(system.tracker, 'raw_lost', 0)} "
+                f"loops={system.loop_closer.loops_closed if system.loop_closer else 0} "
+                f"fps={(i - warm + 1) / (time.time() - t0):.2f}",
+                file=sys.stderr, flush=True,
+            )
     system.flush()  # retire the pipelined frame + drain mapping
     _ = np.asarray(system.tracker.last_pose)  # full sync
     dt = (time.time() - t0) / max(n_frames - warm, 1)

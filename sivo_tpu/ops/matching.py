@@ -18,11 +18,53 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sivo_tpu.ops import pallas_match as pm
 from sivo_tpu.ops.stereo import hamming_matrix
 
 TH_HIGH = 100.0
 TH_LOW = 50.0
 HISTO_LENGTH = 30
+
+_INF = jnp.inf
+
+
+def _top2_masked(
+    a_bits, b_bits, u, v, ur, radius, lvl_lo, lvl_hi, r_valid,
+    x, y, c_ur, c_level, c_valid, use_ur: bool,
+):
+    """Best/second-best masked Hamming per row.
+
+    Routed through the fused Pallas kernel (ops/pallas_match.py) when
+    shapes satisfy its tiling; otherwise the materialized-matrix XLA
+    path (identical semantics — parity-tested)."""
+    n, m = a_bits.shape[0], b_bits.shape[0]
+    if pm.use_pallas() and n % pm.TILE_N == 0 and m % 128 == 0:
+        row = pm.pack_row_attr(u, v, ur, radius, lvl_lo, lvl_hi,
+                               r_valid)
+        col = pm.pack_col_attr_t(x, y, c_ur, c_level, c_valid)
+        return pm.masked_hamming_top2(
+            a_bits, b_bits, row, col, use_ur=use_ur
+        )
+    ok = (
+        (jnp.abs(x[None, :] - u[:, None]) <= radius[:, None])
+        & (jnp.abs(y[None, :] - v[:, None]) <= radius[:, None])
+        & (c_level[None, :] >= lvl_lo[:, None])
+        & (c_level[None, :] <= lvl_hi[:, None])
+        & (r_valid > 0.5)[:, None] & (c_valid > 0.5)[None, :]
+    )
+    if use_ur:
+        ok = ok & (
+            (c_ur <= 0.0)[None, :]
+            | (jnp.abs(ur[:, None] - c_ur[None, :]) <= radius[:, None])
+        )
+    dist = jnp.where(ok, hamming_matrix(a_bits, b_bits), _INF)
+    best_j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(dist, best_j[:, None], axis=1)[:, 0]
+    cols = jnp.arange(m)[None, :]
+    d2 = jnp.where(cols == best_j[:, None], _INF, dist)
+    second_j = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    second_d = jnp.take_along_axis(d2, second_j[:, None], axis=1)[:, 0]
+    return best_d, second_d, best_j, second_j
 
 
 class MatchResult(NamedTuple):
@@ -63,34 +105,29 @@ def rotation_consistency_mask(
     return matched & keep_bin[bins]
 
 
-def _resolve(dist: jnp.ndarray, best_j: jnp.ndarray,
-             matched: jnp.ndarray) -> MatchResult:
+def _resolve(best_d: jnp.ndarray, best_j: jnp.ndarray,
+             matched: jnp.ndarray, nd: int) -> MatchResult:
     """Resolve dst-side conflicts: when several src rows picked the same
     dst, keep the smallest distance (the reference's overwrite-on-better
-    behavior)."""
-    ns, nd = dist.shape
-    best_d = jnp.take_along_axis(dist, best_j[:, None], axis=1)[:, 0]
-    # column-sparse matrix of accepted candidates
+    behavior; ties to the lowest src index like the original argmin).
+
+    Two O(Ns) segment-min scatters — the earlier form built an
+    (Ns, Nd+1) column-sparse matrix in HBM just to argmin it."""
+    ns = best_d.shape[0]
     col = jnp.where(matched, best_j, nd)  # out-of-range for unmatched
-    d_sp = jnp.full((ns, nd + 1), jnp.inf)
-    d_sp = d_sp.at[jnp.arange(ns), col].set(
-        jnp.where(matched, best_d, jnp.inf)
+    dval = jnp.where(matched, best_d, jnp.inf)
+    dmin = jnp.full(nd + 1, jnp.inf).at[col].min(dval)
+    idx = jnp.arange(ns)
+    is_min = matched & (dval == dmin[col])
+    imin = jnp.full(nd + 1, ns).at[col].min(
+        jnp.where(is_min, idx, ns)
     )
-    d_sp = d_sp[:, :nd]
-    src_for_dst = jnp.argmin(d_sp, axis=0)
-    dst_has = jnp.isfinite(jnp.min(d_sp, axis=0))
-    src_for_dst = jnp.where(dst_has, src_for_dst, -1)
-    # src keeps the match only if it won the column
-    won = (
-        matched
-        & (jnp.take(src_for_dst, jnp.clip(best_j, 0, nd - 1))
-           == jnp.arange(ns))
-    )
-    dst_for_src = jnp.where(won, best_j, -1)
+    won = is_min & (imin[col] == idx)
+    dst_has = jnp.isfinite(dmin[:nd])
     return MatchResult(
-        dst_for_src=dst_for_src.astype(jnp.int32),
+        dst_for_src=jnp.where(won, best_j, -1).astype(jnp.int32),
         src_for_dst=jnp.where(
-            dst_has, src_for_dst, -1
+            dst_has, imin[:nd], -1
         ).astype(jnp.int32),
         n_matches=jnp.sum(won).astype(jnp.int32),
     )
@@ -118,45 +155,31 @@ def search_by_projection_frame(
     """Motion-model frame-to-frame search
     (ref: ORBmatcher.cc:1278-1417 SearchByProjection(Frame&, Frame&)).
     """
-    u = proj_uvr[:, 0][:, None]
-    v = proj_uvr[:, 1][:, None]
-    ur = proj_uvr[:, 2][:, None]
-    radius = (th * scales[prev_level])[:, None]
-
-    in_window = (
-        (jnp.abs(cur_xy[:, 0][None, :] - u) <= radius)
-        & (jnp.abs(cur_xy[:, 1][None, :] - v) <= radius)
+    lvl_p = prev_level.astype(jnp.float32)
+    # ref: ORBmatcher.cc:1321-1341 forward/backward octave gating,
+    # expressed as a per-row [lo, hi] level window
+    big = jnp.float32(1e9)
+    lvl_lo = jnp.where(
+        forward, lvl_p, jnp.where(backward, -big, lvl_p - 1.0)
     )
-    lvl_c = cur_level[None, :]
-    lvl_p = prev_level[:, None]
-    # ref: ORBmatcher.cc:1321-1341 forward/backward octave gating
-    oct_fwd = lvl_c >= lvl_p
-    oct_bwd = lvl_c <= lvl_p
-    oct_near = jnp.abs(lvl_c - lvl_p) <= 1
-    oct_ok = jnp.where(
-        forward, oct_fwd, jnp.where(backward, oct_bwd, oct_near)
+    lvl_hi = jnp.where(
+        forward, big, jnp.where(backward, lvl_p, lvl_p + 1.0)
     )
-    # stereo right-u agreement (ref: ORBmatcher.cc:1344-1350)
-    has_ur = (cur_ur > 0)[None, :]
-    ur_ok = ~has_ur | (jnp.abs(ur - cur_ur[None, :]) <= radius)
-
-    ok = (
-        in_window
-        & oct_ok
-        & ur_ok
-        & prev_has_point[:, None]
-        & cur_valid[None, :]
-        & (proj_z > 0)[:, None]
+    best_d, _, best_j, _ = _top2_masked(
+        prev_desc, cur_desc,
+        proj_uvr[:, 0], proj_uvr[:, 1], proj_uvr[:, 2],
+        th * scales[prev_level], lvl_lo, lvl_hi,
+        prev_has_point & (proj_z > 0),
+        cur_xy[:, 0], cur_xy[:, 1], cur_ur,
+        cur_level.astype(jnp.float32), cur_valid,
+        use_ur=True,  # stereo right-u agreement (ref: :1344-1350)
     )
-    dist = jnp.where(ok, hamming_matrix(prev_desc, cur_desc), jnp.inf)
-    best_j = jnp.argmin(dist, axis=1)
-    best_d = jnp.take_along_axis(dist, best_j[:, None], axis=1)[:, 0]
     matched = best_d <= TH_HIGH
     if check_rotation:
         matched = rotation_consistency_mask(
             prev_angle, cur_angle[best_j], matched
         )
-    return _resolve(dist, best_j, matched)
+    return _resolve(best_d, best_j, matched, cur_desc.shape[0])
 
 
 def search_by_projection_points(
@@ -184,40 +207,23 @@ def search_by_projection_points(
     the same level (ref: ORBmatcher.cc:137-152).
     """
     r = jnp.where(pt_view_cos > 0.998, 2.5, 4.0) * th
-    radius = (r * scales[pt_level])[:, None]
-    u = pt_uvr[:, 0][:, None]
-    v = pt_uvr[:, 1][:, None]
-    ur = pt_uvr[:, 2][:, None]
-
-    in_window = (
-        (jnp.abs(cur_xy[:, 0][None, :] - u) <= radius)
-        & (jnp.abs(cur_xy[:, 1][None, :] - v) <= radius)
-    )
-    lvl_c = cur_level[None, :]
-    lvl_p = pt_level[:, None]
-    oct_ok = (lvl_c >= lvl_p - 1) & (lvl_c <= lvl_p)
-    has_ur = (cur_ur > 0)[None, :]
-    er_ok = ~has_ur | (
-        jnp.abs(ur - cur_ur[None, :])
-        <= (r * scales[pt_level])[:, None]
-    )
-    ok = (
-        in_window & oct_ok & er_ok
-        & pt_visible[:, None] & cur_valid[None, :]
-    )
-    dist = jnp.where(ok, hamming_matrix(pt_desc, cur_desc), jnp.inf)
-
+    lvl_p = pt_level.astype(jnp.float32)
     # best + second-best (per level tracking, ref: ORBmatcher.cc:107-136)
-    neg_d, idx2 = jax.lax.top_k(-dist, 2)
-    best_j, second_j = idx2[:, 0], idx2[:, 1]
-    best_d, second_d = -neg_d[:, 0], -neg_d[:, 1]
+    best_d, second_d, best_j, second_j = _top2_masked(
+        pt_desc, cur_desc,
+        pt_uvr[:, 0], pt_uvr[:, 1], pt_uvr[:, 2],
+        r * scales[pt_level], lvl_p - 1.0, lvl_p, pt_visible,
+        cur_xy[:, 0], cur_xy[:, 1], cur_ur,
+        cur_level.astype(jnp.float32), cur_valid,
+        use_ur=True,
+    )
     best_lvl = cur_level[best_j]
     second_lvl = cur_level[second_j]
     ratio_ok = (best_lvl != second_lvl) | (
         best_d <= nn_ratio * second_d
     )
     matched = (best_d <= accept_th) & ratio_ok
-    return _resolve(dist, best_j, matched)
+    return _resolve(best_d, best_j, matched, cur_desc.shape[0])
 
 
 def search_by_sim3(
@@ -262,21 +268,18 @@ def search_by_sim3(
         pb = s * (pa @ R.T) + t
         ok_z = pb[..., 2] > 0
         uv = project(pb)
-        radius = (th * scales[level_a])[:, None]
-        in_win = (
-            (jnp.abs(xy_b[:, 0][None, :] - uv[:, 0:1]) <= radius)
-            & (jnp.abs(xy_b[:, 1][None, :] - uv[:, 1:2]) <= radius)
+        lvl_a = level_a.astype(jnp.float32)
+        na = pa.shape[0]
+        best_d, _, best, _ = _top2_masked(
+            desc_a, desc_b,
+            uv[:, 0], uv[:, 1], jnp.zeros(na, jnp.float32),
+            th * scales[level_a], lvl_a - 1.0, lvl_a + 1.0,
+            has_a & ok_z,
+            xy_b[:, 0], xy_b[:, 1],
+            jnp.zeros(desc_b.shape[0], jnp.float32),
+            level_b.astype(jnp.float32), has_b_kp,
+            use_ur=False,
         )
-        lvl_ok = (
-            jnp.abs(level_b[None, :] - level_a[:, None]) <= 1
-        )
-        ok = (
-            in_win & lvl_ok & has_a[:, None] & ok_z[:, None]
-            & has_b_kp[None, :]
-        )
-        d = jnp.where(ok, hamming_matrix(desc_a, desc_b), jnp.inf)
-        best = jnp.argmin(d, axis=1)
-        best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
         return jnp.where(best_d <= TH_HIGH, best, -1)
 
     sinv = 1.0 / g12_s
@@ -318,14 +321,21 @@ def search_brute_force(
     lists, and the accept tests (best < TH_LOW, best < ratio * second,
     rotation consistency) are identical.
     """
-    ok = src_valid[:, None] & dst_valid[None, :]
-    dist = jnp.where(ok, hamming_matrix(src_desc, dst_desc), jnp.inf)
-    neg_d, idx2 = jax.lax.top_k(-dist, 2)
-    best_j = idx2[:, 0]
-    best_d, second_d = -neg_d[:, 0], -neg_d[:, 1]
+    ns, nd = src_desc.shape[0], dst_desc.shape[0]
+    zeros = jnp.zeros(ns, jnp.float32)
+    big = jnp.float32(1e9)
+    best_d, second_d, best_j, _ = _top2_masked(
+        src_desc, dst_desc,
+        zeros, zeros, zeros, jnp.full(ns, jnp.inf),
+        jnp.full(ns, -big), jnp.full(ns, big), src_valid,
+        jnp.zeros(nd, jnp.float32), jnp.zeros(nd, jnp.float32),
+        jnp.zeros(nd, jnp.float32), jnp.zeros(nd, jnp.float32),
+        dst_valid,
+        use_ur=False,
+    )
     matched = (best_d <= TH_LOW) & (best_d <= nn_ratio * second_d)
     if check_rotation:
         matched = rotation_consistency_mask(
             src_angle, dst_angle[best_j], matched
         )
-    return _resolve(dist, best_j, matched)
+    return _resolve(best_d, best_j, matched, nd)
