@@ -63,9 +63,13 @@ def _probe_ok() -> bool:
     PJRT relays — fall back to the XLA path instead of crashing the
     first jitted program that embeds the kernel."""
     try:
-        a = jnp.zeros((TILE_N, 256), jnp.float32)
+        # probe at a multi-tile N: single-tile probes compiled while
+        # the real N=2048 program failed Mosaic layout verification
+        # (1-D output tiling differs with total length)
+        n_p = 8 * TILE_N
+        a = jnp.zeros((n_p, 256), jnp.float32)
         b = jnp.zeros((128, 256), jnp.float32)
-        row = jnp.zeros((TILE_N, 8), jnp.float32)
+        row = jnp.zeros((n_p, 8), jnp.float32)
         col = jnp.zeros((8, 128), jnp.float32)
         out = masked_hamming_top2(
             a, b, row, col, use_ur=True, interpret=False
@@ -118,17 +122,20 @@ def _kernel(row_ref, colt_ref, a_ref, b_ref,
         ok = ok & ((c_ur <= 0.0) | (jnp.abs(r_ur - c_ur) <= radius))
     d = jnp.where(ok, ham, jnp.inf)
 
-    best = jnp.min(d, axis=1)
+    # keepdims: outputs are (TILE_N, 1) blocks — 1-D (TILE_N,) outputs
+    # trip Mosaic/XLA layout disagreement at some total lengths (XLA
+    # tiles 1-D f32[2048] as T(1024); Mosaic wants the block size)
+    best = jnp.min(d, axis=1, keepdims=True)
     bj = jnp.argmin(d, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     d2 = jnp.where(cols == bj[:, None], jnp.inf, d)
-    second = jnp.min(d2, axis=1)
+    second = jnp.min(d2, axis=1, keepdims=True)
     sj = jnp.argmin(d2, axis=1).astype(jnp.int32)
 
     best_ref[:] = best
     second_ref[:] = second
-    bj_ref[:] = bj
-    sj_ref[:] = sj
+    bj_ref[:] = bj[:, None]
+    sj_ref[:] = sj[:, None]
 
 
 @functools.partial(
@@ -156,7 +163,7 @@ def masked_hamming_top2(
         interpret = jax.default_backend() != "tpu"
     grid = (n // TILE_N,)
     kern = functools.partial(_kernel, use_ur=use_ur)
-    return pl.pallas_call(
+    best, second, bj, sj = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -177,23 +184,25 @@ def masked_hamming_top2(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N,), lambda i: (i,),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N,), lambda i: (i,),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N,), lambda i: (i,),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N,), lambda i: (i,),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.float32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
     )(row_attr, col_attr_t, a_bits, b_bits)
+    # squeeze back to the (N,) contract of the XLA path
+    return best[:, 0], second[:, 0], bj[:, 0], sj[:, 0]
 
 
 def pack_row_attr(

@@ -9,9 +9,13 @@ the batch-everything design (SURVEY §7 stage 6).
 
 EPnP per hypothesis: 4 control points (centroid + PCA axes),
 barycentric coordinates, the 12x12 M^T M eigen-decomposition, the
-N=1 beta case with closed-form scale (ref: PnPsolver.cc:669-763 tries
-cases 1-3; case 1 dominates and the final refine subsumes the rest),
-and absolute orientation (Horn) for R, t (ref: PnPsolver.cc:572-630).
+reference's three beta cases (ref: PnPsolver.cc:669-763) each refined
+by 5 Gauss-Newton iterations on the inter-control-point distance
+constraints (ref: PnPsolver.cc:814-863) — all three candidate poses
+are built batched and the per-hypothesis winner is the one with the
+least reprojection error on its minimal set, exactly the reference's
+case selection (ref: PnPsolver.cc:352-383) — and absolute orientation
+(Horn) for R, t (ref: PnPsolver.cc:572-630).
 """
 
 from __future__ import annotations
@@ -25,8 +29,9 @@ import jax.numpy as jnp
 from sivo_tpu.geometry.projection import CameraParams, project
 from sivo_tpu.utils.precision import hmat
 
-MIN_SET = 6  # points per hypothesis (reference uses 4; 6 is stabler
-#              for the single-beta case and free when batched)
+MIN_SET = 6  # points per hypothesis (reference uses 4; 6 keeps a
+#              vote margin over noise in the batched all-hypotheses
+#              scoring and is free when batched)
 
 
 class RansacResult(NamedTuple):
@@ -111,27 +116,176 @@ def _epnp(
     MtM = hmat(jnp.swapaxes(Mm, -1, -2), Mm)
     with jax.default_matmul_precision("highest"):
         _, vecs = jnp.linalg.eigh(MtM)
-    vsmall = vecs[..., :, 0]  # (..., 12): smallest eigenvector
+    # 4 smallest eigenvectors of M^T M, each reshaped to 4 camera
+    # control points (ref: PnPsolver.cc:500-510 kernel columns)
+    batch = MtM.shape[:-2]
+    vk = jnp.moveaxis(vecs[..., :, :4], -1, -2).reshape(
+        *batch, 4, 4, 3
+    )  # (..., beta k, ctrl point, 3)
 
-    # camera control points = beta * v (sign/scale from distances,
-    # ref: PnPsolver.cc:669-702 compute_betas case 1)
-    cc_cam = vsmall.reshape(*vsmall.shape[:-1], 4, 3)
-    dw = jnp.linalg.norm(
-        ctrl[..., :, None, :] - ctrl[..., None, :, :], axis=-1
-    )
-    dc = jnp.linalg.norm(
-        cc_cam[..., :, None, :] - cc_cam[..., None, :, :], axis=-1
-    )
-    beta = jnp.sum(dc * dw, axis=(-1, -2)) / jnp.maximum(
-        jnp.sum(dc * dc, axis=(-1, -2)), 1e-12
-    )
-    cc_cam = cc_cam * beta[..., None, None]
+    # distance-constraint system L betas10 = rho over the 6 control
+    # point pairs (ref: PnPsolver.cc:765-812 compute_L_6x10 / rho)
+    ia = jnp.array([0, 0, 0, 1, 1, 2])
+    ib = jnp.array([1, 2, 3, 2, 3, 3])
+    dv = (
+        jnp.take(vk, ia, axis=-2) - jnp.take(vk, ib, axis=-2)
+    )  # (..., 4, 6, 3)
+    with jax.default_matmul_precision("highest"):
+        dots = jnp.einsum("...kpc,...lpc->...pkl", dv, dv)
+    L = jnp.stack(
+        [
+            dots[..., 0, 0], 2 * dots[..., 0, 1], dots[..., 1, 1],
+            2 * dots[..., 0, 2], 2 * dots[..., 1, 2], dots[..., 2, 2],
+            2 * dots[..., 0, 3], 2 * dots[..., 1, 3],
+            2 * dots[..., 2, 3], dots[..., 3, 3],
+        ],
+        axis=-1,
+    )  # (..., 6, 10)
+    rho = jnp.sum(
+        (
+            jnp.take(ctrl, ia, axis=-2) - jnp.take(ctrl, ib, axis=-2)
+        ) ** 2,
+        axis=-1,
+    )  # (..., 6)
+
+    betas = jnp.stack(
+        [
+            _betas_approx_1(L, rho),
+            _betas_approx_2(L, rho),
+            _betas_approx_3(L, rho),
+        ],
+        axis=-2,
+    )  # (..., 3 cases, 4)
+    Lc = L[..., None, :, :]
+    rhoc = rho[..., None, :]
+    for _ in range(5):  # ref: PnPsolver.cc:814-863 gauss_newton
+        betas = _gn_betas_step(betas, Lc, rhoc)
+
+    # one pose per case, then the reference's least-reprojection-error
+    # case selection (ref: PnPsolver.cc:352-383)
+    with jax.default_matmul_precision("highest"):
+        cc_cam = jnp.einsum(
+            "...ck,...kpj->...cpj", betas, vk
+        )  # (..., 3 cases, 4 ctrl, 3)
+    pc = hmat(alphas[..., None, :, :], cc_cam)  # (..., 3, M, 3)
     # points must be in front of the camera: flip if mean z < 0
-    pc = hmat(alphas, cc_cam)  # (..., M, 3)
     flip = jnp.mean(pc[..., 2], axis=-1) < 0
     pc = jnp.where(flip[..., None, None], -pc, pc)
     # absolute orientation world -> camera (ref: PnPsolver.cc:572-630)
-    return _kabsch(pw, pc)
+    poses = _kabsch(
+        jnp.broadcast_to(pw[..., None, :, :], pc.shape), pc
+    )  # (..., 3, 4, 4)
+    pred = project(
+        cam,
+        hmat(
+            jnp.broadcast_to(pw[..., None, :, :], pc.shape),
+            jnp.swapaxes(poses[..., :3, :3], -1, -2),
+        )
+        + poses[..., None, :3, 3],
+    )
+    err = jnp.sum(
+        jnp.sum((pred - uv[..., None, :, :]) ** 2, axis=-1), axis=-1
+    )
+    err = jnp.where(
+        jnp.all(
+            jnp.isfinite(poses.reshape(*poses.shape[:-2], 16)), axis=-1
+        ),
+        err,
+        jnp.inf,
+    )
+    best = jnp.argmin(err, axis=-1)
+    return jnp.take_along_axis(
+        poses, best[..., None, None, None], axis=-3
+    )[..., 0, :, :]
+
+
+def _solve_ls(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched least squares of a small (..., 6, k) system via ridge-
+    stabilized normal equations at full precision."""
+    At = jnp.swapaxes(A, -1, -2)
+    with jax.default_matmul_precision("highest"):
+        AtA = hmat(At, A)
+        Atb = hmat(At, b[..., None])[..., 0]
+        k = AtA.shape[-1]
+        return jnp.linalg.solve(
+            AtA + 1e-9 * jnp.eye(k, dtype=AtA.dtype), Atb[..., None]
+        )[..., 0]
+
+
+def _betas_approx_1(L: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """Case 1: betas10 ~ [b11, b12, b13, b14] from L columns 0/1/3/6
+    (ref: PnPsolver.cc:669-702)."""
+    x = _solve_ls(L[..., (0, 1, 3, 6)], rho)
+    s = jnp.where(x[..., 0] < 0, -1.0, 1.0)
+    b1 = jnp.sqrt(jnp.abs(x[..., 0]))
+    safe = jnp.maximum(b1, 1e-12)
+    rest = s[..., None] * x[..., 1:] / safe[..., None]
+    return jnp.concatenate([b1[..., None], rest], axis=-1)
+
+
+def _betas_approx_2(L: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """Case 2: betas10 ~ [b11, b12, b22] from L columns 0/1/2
+    (ref: PnPsolver.cc:704-730)."""
+    x = _solve_ls(L[..., (0, 1, 2)], rho)
+    b11, b12, b22 = x[..., 0], x[..., 1], x[..., 2]
+    b1 = jnp.sqrt(jnp.abs(b11))
+    b2 = jnp.where(
+        (b22 > 0) == (b11 > 0), jnp.sqrt(jnp.abs(b22)), 0.0
+    )
+    b1 = jnp.where(b12 < 0, -b1, b1)
+    z = jnp.zeros_like(b1)
+    return jnp.stack([b1, b2, z, z], axis=-1)
+
+
+def _betas_approx_3(L: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """Case 3: betas10 ~ [b11, b12, b22, b13, b23] from L columns
+    0/1/2/3/4 (ref: PnPsolver.cc:732-763)."""
+    x = _solve_ls(L[..., (0, 1, 2, 3, 4)], rho)
+    b11, b12, b22, b13 = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
+    b1 = jnp.sqrt(jnp.abs(b11))
+    b2 = jnp.where(
+        (b22 > 0) == (b11 > 0), jnp.sqrt(jnp.abs(b22)), 0.0
+    )
+    b1 = jnp.where(b12 < 0, -b1, b1)
+    safe = jnp.where(jnp.abs(b1) < 1e-12, 1e-12, b1)
+    b3 = b13 / safe
+    z = jnp.zeros_like(b1)
+    return jnp.stack([b1, b2, b3, z], axis=-1)
+
+
+def _gn_betas_step(
+    betas: jnp.ndarray, L: jnp.ndarray, rho: jnp.ndarray
+) -> jnp.ndarray:
+    """One Gauss-Newton step on the 4 betas against the 6 distance
+    constraints (ref: PnPsolver.cc:814-863)."""
+    b1, b2, b3, b4 = (
+        betas[..., 0], betas[..., 1], betas[..., 2], betas[..., 3]
+    )
+    b10 = jnp.stack(
+        [
+            b1 * b1, b1 * b2, b2 * b2, b1 * b3, b2 * b3, b3 * b3,
+            b1 * b4, b2 * b4, b3 * b4, b4 * b4,
+        ],
+        axis=-1,
+    )
+    with jax.default_matmul_precision("highest"):
+        r = rho - jnp.einsum("...pk,...k->...p", L, b10)
+    c = lambda i: L[..., i]  # noqa: E731 — column accessor
+    e = lambda x: x[..., None]  # noqa: E731
+    J = jnp.stack(
+        [
+            2 * e(b1) * c(0) + e(b2) * c(1) + e(b3) * c(3)
+            + e(b4) * c(6),
+            e(b1) * c(1) + 2 * e(b2) * c(2) + e(b3) * c(4)
+            + e(b4) * c(7),
+            e(b1) * c(3) + e(b2) * c(4) + 2 * e(b3) * c(5)
+            + e(b4) * c(8),
+            e(b1) * c(6) + e(b2) * c(7) + e(b3) * c(8)
+            + 2 * e(b4) * c(9),
+        ],
+        axis=-1,
+    )  # (..., 6, 4)
+    return betas + _solve_ls(J, r)
 
 
 @functools.partial(

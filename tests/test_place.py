@@ -208,3 +208,70 @@ def test_ransac_pnp_accept_reject_thresholds():
     )
     assert bool(res.ok)
     assert int(res.n_inliers) >= 10
+
+
+def test_epnp_beta_cases_planar_scene():
+    """A near-planar point cloud drives M^T M toward a multi-
+    dimensional null space, where the single-beta case degrades; the
+    reference solves cases 1-3 + Gauss-Newton and keeps the least
+    reprojection error (ref: PnPsolver.cc:352-383, 669-863). The
+    batched solver must recover a clean pose from planar geometry."""
+    rng = np.random.default_rng(11)
+    n = 128
+    pw = np.stack(
+        [
+            rng.uniform(-10, 10, n),
+            rng.uniform(-4, 4, n),
+            np.full(n, 18.0) + rng.normal(0, 0.02, n),  # near-planar
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    xi = np.array([0.2, -0.15, 0.4, 0.04, -0.08, 0.02], np.float32)
+    T_true = np.asarray(se3.exp(jnp.asarray(xi)))
+    pc = pw @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.array(project(CAM, jnp.asarray(pc)))
+    uv += rng.normal(0, 0.3, uv.shape)
+    res = pnp.ransac_pnp(
+        jnp.asarray(pw),
+        jnp.asarray(uv.astype(np.float32)),
+        jnp.ones(n, jnp.float32),
+        jnp.ones(n, bool),
+        jax.random.key(3),
+        CAM,
+    )
+    assert bool(res.ok)
+    err = np.asarray(
+        se3.log(jnp.asarray(np.linalg.inv(T_true) @
+                            np.asarray(res.pose)))
+    )
+    assert np.abs(err[:3]).max() < 0.05, err
+    assert np.asarray(res.inliers).mean() > 0.8
+
+
+def test_epnp_gauss_newton_beta_refinement_scale():
+    """The Gauss-Newton beta refinement enforces the inter-control-
+    point distance constraints (ref: PnPsolver.cc:814-863): the
+    recovered camera-frame point cloud must carry the world scale, so
+    translation comes out metric even from a noiseless minimal set."""
+    rng = np.random.default_rng(13)
+    m = pnp.MIN_SET
+    pw = np.stack(
+        [
+            rng.uniform(-8, 8, m),
+            rng.uniform(-3, 3, m),
+            rng.uniform(8, 30, m),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    xi = np.array([0.1, 0.2, -0.3, 0.03, 0.01, -0.02], np.float32)
+    T_true = np.asarray(se3.exp(jnp.asarray(xi)))
+    pc = pw @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.asarray(project(CAM, jnp.asarray(pc)), np.float32)
+    pose = np.asarray(
+        pnp._epnp(jnp.asarray(pw)[None], jnp.asarray(uv)[None], CAM)
+    )[0]
+    err = np.asarray(
+        se3.log(jnp.asarray(np.linalg.inv(T_true) @ pose))
+    )
+    assert np.abs(err[:3]).max() < 2e-2, err  # metric translation
+    assert np.abs(err[3:]).max() < 5e-3, err
