@@ -269,7 +269,11 @@ def main() -> None:
             # guarantees supply. Sequential mode uses the paper's 4.0.
             th_entropy_reduction=4.0 if seq_mode else 3.0,
             sequential_selection=seq_mode,
-            seq_min_select=64 if seq_mode else 128,
+            # supply floor 128 in BOTH modes: at 64 the sequential runs
+            # sat on the corner-starvation edge — identical code lost
+            # 2 / 21 / 51 frames across three runs purely on relay
+            # timing; the map stays ~1/5 of batch mode regardless
+            seq_min_select=128,
         ),
     )
     # circuit: a square-ring corridor driven for one lap plus a
@@ -344,13 +348,6 @@ def main() -> None:
     )
     cls_frames = [np.asarray(c, np.uint8) for c in clsmaps]
 
-    @jax.jit
-    def sem_device(cls_u8):
-        conf, ent = synthetic.structured_semantics_device(
-            cls_u8, field_dev
-        )
-        return conf, ent
-
     # SIVO_BENCH_CNN=1: consume the REAL MC-dropout posterior of a net
     # trained on this scene (tools/train_bench_segnet.py writes the
     # caffemodel) — the reference's actual semantic path
@@ -383,23 +380,65 @@ def main() -> None:
             caffe_io.load_segnet_params(cnn_model_path, "basic"),
         )
 
+    # ONE flat uint8 upload per frame: relay transactions cost
+    # ~35-50 ms EACH regardless of payload size (measured), so the
+    # previous 3 uploads + 2 dispatches were ~115 ms of build_frame
+    # host time. The planes are concatenated host-side once and sliced
+    # back INSIDE the jitted builder — no standalone unpack program
+    # (that was round 2's relay pathology, commit f3073a1). Left goes
+    # up as u8 luma in geometric mode — the reference's cvtColor
+    # produces u8 gray too (ref: Tracking.cc:187-205).
+    Hc, Wc = cfg.camera.height, cfg.camera.width
+    left_is_color = left_color.ndim == 4
+    if cnn_mode or not left_is_color:
+        # grayscale renders (or CNN mode's color planes) pack as-is
+        left_planes = left_color.reshape(len(left_color), -1)
+    else:
+        left_planes = np.clip(
+            0.299 * left_color[..., 2]
+            + 0.587 * left_color[..., 1]
+            + 0.114 * left_color[..., 0],
+            0, 255,
+        ).astype(np.uint8).reshape(len(left_color), -1)
+    packed_host = np.concatenate(
+        [
+            left_planes,
+            right.reshape(len(right), -1),
+            np.stack(cls_frames).reshape(len(cls_frames), -1),
+        ],
+        axis=1,
+    )
+    del left_planes
+
+    @jax.jit
+    def build_packed(params, flat_u8, key):
+        if cnn_mode and left_is_color:
+            off = 3 * Hc * Wc
+            left_dev = flat_u8[:off].reshape(Hc, Wc, 3)
+        else:
+            off = Hc * Wc
+            left_dev = flat_u8[:off].reshape(Hc, Wc)
+        right_dev = flat_u8[off: off + Hc * Wc].reshape(Hc, Wc)
+        cls_dev = flat_u8[off + Hc * Wc:].reshape(Hc, Wc)
+        conf_dev, ent_dev = synthetic.structured_semantics_device(
+            cls_dev, field_dev
+        )
+        return frame_mod.build_frame(
+            system.model, params, system.statics,
+            left_dev, right_dev, key,
+            sem_override=(cls_dev, conf_dev, ent_dev, use_cnn),
+        )
+
     built = {}
 
     def build(i: int):
         if i in built or i >= n_frames:
             return
         with system.timer.stage("build_frame"):
-            j = src(i)
-            cls_dev = jnp.asarray(cls_frames[j])
-            conf_dev, ent_dev = sem_device(cls_dev)
-            built[i] = frame_mod.build_frame(
-                system.model, system.segnet_params, system.statics,
-                jnp.asarray(left_color[j]),
-                jnp.asarray(right[j]),
+            built[i] = build_packed(
+                system.segnet_params,
+                jnp.asarray(packed_host[src(i)]),
                 jax.random.key(i),
-                sem_override=(
-                    cls_dev, conf_dev, ent_dev, use_cnn,
-                ),
             )
 
     # train a session vocabulary on ORB descriptors sampled across the
@@ -472,6 +511,12 @@ def main() -> None:
     _ = np.asarray(system.tracker.last_pose)  # full sync
     dt = (time.time() - t0) / max(n_frames - warm, 1)
     fps = 1.0 / dt
+    # snapshot BEFORE the localization replay below appends its own
+    # loss events — `lost` reports the mapping run only
+    main_lost = getattr(system.tracker, "raw_lost", 0)
+    main_lost_frames = list(
+        getattr(system.tracker, "raw_lost_frames", [])
+    )
 
     # align by frame id: a mid-run System reset truncates the
     # trajectory, and positional alignment would silently compare the
@@ -526,6 +571,19 @@ def main() -> None:
     system.activate_localization_mode()
     n_loc = 64  # >= 50 timed frames (round-2 review: 12 was noise)
     n_fill = 8
+    # the replay jumps ~64 frames back: seed the tracker at the
+    # window's start pose (re-chained through the corrected keyframes)
+    # instead of timing a kidnapped-robot recovery
+    i0 = n_frames - n_loc
+    rec0 = next(
+        (r for r in system.tracker.trajectory if r.frame_id == i0),
+        None,
+    )
+    if rec0 is not None and rec0.ref_kf >= 0:
+        seed_tcw = rec0.rel_pose.astype(np.float64) @ system.map.kf_pose[
+            rec0.ref_kf
+        ].astype(np.float64)
+        system.seed_localization_pose(seed_tcw, rec0.ref_kf)
     t0 = None
     for k, i in enumerate(range(n_frames - n_loc, n_frames)):
         if k == n_fill:
@@ -575,10 +633,8 @@ def main() -> None:
             "warmup": warm,
             # raw loss events (pre-reloc); lost_final = records still
             # lost after relocalization rewrites
-            "lost": getattr(system.tracker, "raw_lost", 0),
-            "lost_frames": getattr(
-                system.tracker, "raw_lost_frames", []
-            )[:32],
+            "lost": main_lost,
+            "lost_frames": main_lost_frames[:32],
             "lost_final": n_lost_all,
             "resets": n_resets,
             "reloc_attempts": getattr(system, "reloc_attempts", 0),

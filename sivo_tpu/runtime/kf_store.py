@@ -29,6 +29,7 @@ import jax.numpy as jnp
 class DeviceKFStore(NamedTuple):
     xy: jnp.ndarray  # (K, N, 2) f32
     level: jnp.ndarray  # (K, N) int32
+    angle: jnp.ndarray  # (K, N) f32 keypoint orientation (rad)
     desc_u8: jnp.ndarray  # (K, N, 32) uint8
     u_right: jnp.ndarray  # (K, N) f32
     semantic: jnp.ndarray  # (K, N) bool
@@ -46,6 +47,7 @@ def make_kf_store(max_keyframes: int, kp_capacity: int) -> DeviceKFStore:
     return DeviceKFStore(
         xy=jnp.zeros((K, N, 2), jnp.float32),
         level=jnp.zeros((K, N), jnp.int32),
+        angle=jnp.zeros((K, N), jnp.float32),
         desc_u8=jnp.zeros((K, N, 32), jnp.uint8),
         u_right=jnp.full((K, N), -1.0, jnp.float32),
         semantic=jnp.zeros((K, N), bool),
@@ -61,6 +63,7 @@ def insert(
     slot: jnp.ndarray,  # () int32 keyframe index
     xy: jnp.ndarray,
     level: jnp.ndarray,
+    angle: jnp.ndarray,
     desc_u8: jnp.ndarray,
     u_right: jnp.ndarray,
     semantic: jnp.ndarray,
@@ -73,6 +76,7 @@ def insert(
     return DeviceKFStore(
         xy=store.xy.at[s].set(xy[None]),
         level=store.level.at[s].set(level[None]),
+        angle=store.angle.at[s].set(angle[None]),
         desc_u8=store.desc_u8.at[s].set(desc_u8[None]),
         u_right=store.u_right.at[s].set(u_right[None]),
         semantic=store.semantic.at[s].set(semantic[None]),

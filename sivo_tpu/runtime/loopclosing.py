@@ -378,15 +378,15 @@ class LoopCloser:
         kf_idx, cand = a["kf"], a["cand"]
         a["pts1"] = self._kf_point_ids(kf_idx)
         a["pts2"] = self._kf_point_ids(cand)
-        d1 = self.map.kf_data[kf_idx]
-        d2 = self.map.kf_data[cand]
+        # angles ride the device keyframe store (one slot gather) —
+        # host uploads here would queue on the shared relay
         m = matching.search_brute_force(
             self._kf_bits(kf_idx, tracker),
             jnp.asarray(a["pts1"] >= 0),
-            jnp.asarray(d1.angle),
+            tracker.kf_store.angle[kf_idx],
             self._kf_bits(cand, tracker),
             jnp.asarray(a["pts2"] >= 0),
-            jnp.asarray(d2.angle),
+            tracker.kf_store.angle[cand],
             nn_ratio=0.75,  # ref: LoopClosing.cc:249
         )
         a["fut"] = fetch_packed_async({"dst": m.dst_for_src})
@@ -481,8 +481,6 @@ class LoopCloser:
             out["t"].astype(np.float64),
         )
         pts1, pts2 = a["pts1"], a["pts2"]
-        d1 = self.map.kf_data[kf_idx]
-        d2 = self.map.kf_data[cand]
         T1 = self.map.kf_pose[kf_idx].astype(np.float64)
         T2 = self.map.kf_pose[cand].astype(np.float64)
         g12 = a["res_g12"]
@@ -496,17 +494,21 @@ class LoopCloser:
 
         pc1_all, has1 = cam_points(pts1, T1)
         pc2_all, has2 = cam_points(pts2, T2)
-        scales = jnp.asarray(
-            self.cfg.orb.scale_factor
-            ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
-        )
+        scales = getattr(self, "_scales_dev", None)
+        if scales is None:
+            scales = self._scales_dev = jnp.asarray(
+                self.cfg.orb.scale_factor
+                ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
+            )
+        # keypoint xy/level ride the device keyframe store; only the
+        # host-truth point clouds cross the relay
         m12 = matching.search_by_sim3(
             g12.s, g12.R, g12.t,
             jnp.asarray(pc1_all), jnp.asarray(has1),
-            jnp.asarray(d1.xy), jnp.asarray(d1.level),
+            tracker.kf_store.xy[kf_idx], tracker.kf_store.level[kf_idx],
             self._kf_bits(kf_idx, tracker),
             jnp.asarray(pc2_all), jnp.asarray(has2),
-            jnp.asarray(d2.xy), jnp.asarray(d2.level),
+            tracker.kf_store.xy[cand], tracker.kf_store.level[cand],
             self._kf_bits(cand, tracker),
             scales,
             self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
@@ -855,8 +857,8 @@ class LoopCloser:
                 )
             )
         )
-        obs_counts = m.point_obs_counts()
         replaced: dict[int, int] = {}
+        merge_pairs: list[tuple[int, int]] = []
         n_new_obs = 0
         for i, k in enumerate(targets):
             src = src_all[i]
@@ -882,9 +884,16 @@ class LoopCloser:
                     m.pt_valid[p_i] and m.pt_valid[e_i]
                 ):
                     continue
-                # the loop point replaces the window point
-                m.replace_point(e_i, p_i)
+                # the loop point replaces the window point; the table
+                # rewrite is deferred to one replace_points_batch
+                merge_pairs.append((e_i, p_i))
+                m.pt_valid[e_i] = False
                 replaced[e_i] = p_i
+        if merge_pairs:
+            m.replace_points_batch(
+                np.array([p[0] for p in merge_pairs], np.int64),
+                np.array([p[1] for p in merge_pairs], np.int64),
+            )
         if replaced:
             kill_ids = np.full(4096, -1, np.int32)
             kk = list(replaced.keys())[:4096]

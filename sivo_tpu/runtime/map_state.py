@@ -268,6 +268,53 @@ class MapState:
         self.pt_visible[keep] += self.pt_visible[kill]
         self._obs_dirty = True
 
+    def replace_points_batch(
+        self, kills: np.ndarray, keeps: np.ndarray
+    ) -> None:
+        """Vectorized MapPoint::Replace over a set of (kill, keep)
+        pairs (ref: MapPoint.cc:225-261) — ONE observation-table pass
+        instead of one per merge (fusion after a busy keyframe runs
+        hundreds of merges; per-merge full-table scans were the
+        dominant map.fuse host cost). Chains (a->b, b->c) are resolved
+        transitively; semantics match sequential replace_point calls:
+        a keyframe already observing ``keep`` drops its ``kill`` row,
+        otherwise exactly one of its kill rows is rewritten."""
+        kills = np.asarray(kills, np.int64)
+        keeps = np.asarray(keeps, np.int64)
+        if len(kills) == 0:
+            return
+        remap = np.arange(self.max_points, dtype=np.int64)
+        remap[kills] = keeps
+        for _ in range(4):  # merge chains are short
+            nxt = remap[keeps]
+            if (nxt == keeps).all():
+                break
+            keeps = nxt
+            remap[kills] = keeps
+        n = self._obs_n
+        obs = self._obs[:n]
+        alive = self._obs_alive[:n]
+        pt_new = remap[obs[:, 1]]
+        rewritten = alive & (pt_new != obs[:, 1])
+        # winner per (kf, final point): pre-existing keep rows first,
+        # then the first rewritten row; losers are dropped
+        key = obs[:, 0].astype(np.int64) * self.max_points + pt_new
+        idx_alive = np.where(alive)[0]
+        order = np.lexsort(
+            (rewritten[idx_alive], key[idx_alive])
+        )
+        ka = key[idx_alive][order]
+        first = np.ones(len(ka), bool)
+        first[1:] = ka[1:] != ka[:-1]
+        winner = np.zeros(n, bool)
+        winner[idx_alive[order]] = first
+        self._obs[:n, 1] = np.where(alive, pt_new, obs[:, 1])
+        self._obs_alive[:n] = alive & ~(rewritten & ~winner)
+        self.pt_valid[kills] = False
+        np.add.at(self.pt_found, keeps, self.pt_found[kills])
+        np.add.at(self.pt_visible, keeps, self.pt_visible[kills])
+        self._obs_dirty = True
+
     def remove_point(self, pt_id: int) -> None:
         """SetBadFlag (ref: MapPoint.cc:201-223) — lazily: observations
         of invalid points are filtered at query time."""

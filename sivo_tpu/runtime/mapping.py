@@ -224,6 +224,21 @@ class LocalMapper:
         observation table."""
         from sivo_tpu.utils.fetch import fetch_packed_async
 
+        # if the keyframe's insertion fetch hasn't landed yet, give it
+        # one more frame instead of blocking ~an RTT here — unless a
+        # second keyframe is already queued (backpressure: the
+        # reference's mapper also prioritizes draining its queue,
+        # LocalMapping.cc:80-88)
+        pending = tracker._kf_host_pending.get(self._queue[0])
+        if (
+            pending is not None
+            and not pending[0].done()
+            and len(self._queue) == 1
+            and not getattr(self, "_admit_waited", False)
+        ):
+            self._admit_waited = True
+            return
+        self._admit_waited = False
         kf_idx = self._queue.pop(0)
         with self._stage("map.finish_host"):
             tracker.finish_kf_host(kf_idx)
@@ -419,8 +434,9 @@ class LocalMapper:
         fetched = list(fetched_all["fuse_src"])
 
         replaced: dict[int, int] = {}
+        merge_pairs: list[tuple[int, int]] = []  # (kill, keep)
         obs_counts = m.point_obs_counts()
-        max_merges = 50  # bound the O(obs) Replace rewrites per KF
+        max_merges = 50  # bound the Replace rewrites per KF target
 
         def fuse_into(target_kf: int, src: np.ndarray, pad_ids_):
             """Merge projected candidates into one target keyframe."""
@@ -461,13 +477,17 @@ class LocalMapper:
                     m.pt_valid[p_i] and m.pt_valid[e_i]
                 ):
                     continue
-                # keep the more-observed (ref: MapPoint.cc:225-261)
+                # keep the more-observed (ref: MapPoint.cc:225-261);
+                # the table rewrite is DEFERRED to one batched
+                # replace_points_batch — the replaced dict keeps the
+                # per-pair decisions chain- and cycle-safe meanwhile
                 keep, kill = (
                     (e_i, p_i)
                     if obs_counts[e_i] >= obs_counts[p_i]
                     else (p_i, e_i)
                 )
-                m.replace_point(kill, keep)
+                merge_pairs.append((kill, keep))
+                m.pt_valid[kill] = False  # visible to later pairs
                 replaced[kill] = keep
 
         for nb, src_for_dst in zip(neighbors, fetched):
@@ -479,6 +499,11 @@ class LocalMapper:
                 kf_idx,
                 np.asarray(fetched_all["fuse_rev_src"])[0],
                 ctx["pad_rev"],
+            )
+        if merge_pairs:
+            m.replace_points_batch(
+                np.array([p[0] for p in merge_pairs], np.int64),
+                np.array([p[1] for p in merge_pairs], np.int64),
             )
         if replaced:
             import os
@@ -646,12 +671,26 @@ class LocalMapper:
         obs = m.observations()
         if len(obs) == 0:
             return
-        # vectorized: per-observation levels, then per-point counts of
-        # same-or-finer observations
-        obs_level = np.zeros(len(obs), np.int32)
-        for k in np.unique(obs[:, 0]):
-            sel = obs[:, 0] == k
-            obs_level[sel] = m.kf_data[k].level[obs[sel, 2]]
+        # vectorized: per-observation levels via one stacked gather,
+        # then per-point counts of same-or-finer observations via a
+        # sorted combined (point, level) key — the former per-KF mask
+        # pass + per-observation python loop was ~130 ms/keyframe at
+        # 30k observations
+        level_stack = np.stack(
+            [
+                m.kf_data[k].level
+                if m.kf_data[k] is not None
+                else np.zeros(m.kp_capacity, np.int32)
+                for k in range(m.n_keyframes)
+            ]
+        )
+        obs_level = level_stack[obs[:, 0], obs[:, 2]]
+        # combined key: levels are < 8, so pt*16 + level is collision-
+        # free; counting all obs then subtracting the keyframe's own
+        # observation (exactly one per (kf, pt) pair) equals the
+        # reference's "other observations" count
+        lvl_clip = np.minimum(obs_level, 15)
+        key_all_sorted = np.sort(obs[:, 1] * 16 + lvl_clip)
         protected = self.kf_protected() if self.kf_protected else set()
         for k in np.where(covis > 0)[0]:
             if k == 0 or not m.kf_valid[k]:  # never cull the origin
@@ -666,18 +705,15 @@ class LocalMapper:
                 continue
             my_level = obs_level[mine_sel]
             # for each of my points: # other obs with level <= mine+1
-            fine_count = np.zeros(len(mine), np.int32)
-            other_sel = ~mine_sel
-            others_pt = obs[other_sel, 1]
-            others_lvl = obs_level[other_sel]
-            # bucket others by point id
-            order = np.argsort(others_pt)
-            op, ol = others_pt[order], others_lvl[order]
-            starts = np.searchsorted(op, mine[:, 1], side="left")
-            ends = np.searchsorted(op, mine[:, 1], side="right")
-            for i in range(len(mine)):
-                lv = ol[starts[i] : ends[i]]
-                fine_count[i] = np.sum(lv <= my_level[i] + 1)
+            hi = np.searchsorted(
+                key_all_sorted,
+                mine[:, 1] * 16 + np.minimum(my_level + 1, 15),
+                side="right",
+            )
+            lo = np.searchsorted(
+                key_all_sorted, mine[:, 1] * 16, side="left"
+            )
+            fine_count = hi - lo - 1  # minus my own observation
             n_redundant = int((fine_count >= 3).sum())
             if n_redundant > self.cfg.mapping.kf_cull_redundancy * len(
                 mine

@@ -70,6 +70,8 @@ class System:
             timer=self.timer,
         )
         self.tracker.mapper = self.mapper  # KF-decision backpressure
+        self.mapper.on_kf_culled = self._on_kf_culled
+        self.mapper.kf_protected = self._protected_kfs
         self.loop_closer = None
         if self.vocabulary is not None:
             from sivo_tpu.runtime.loopclosing import LoopCloser
@@ -86,12 +88,54 @@ class System:
 
     def _wire_loop_closer(self) -> None:
         self.loop_closer.timer = self.timer
-        self.mapper.on_kf_culled = self.loop_closer.on_keyframe_culled
-        self.mapper.kf_protected = lambda: {
-            k
-            for i, j, _ in self.loop_closer.loop_edges
-            for k in (i, j)
-        }
+        self.mapper.on_kf_culled = self._on_kf_culled
+        self.mapper.kf_protected = self._protected_kfs
+
+    def _protected_kfs(self) -> set:
+        """Keyframes the culler must not erase: loop-edge holders
+        (ref: KeyFrame.cc:459-476) and the tracker's CURRENT reference
+        keyframe — culling it would freeze the pose every subsequent
+        frame record chains through while corrections keep moving the
+        live map (the reference's culler only sees covisible neighbors
+        of the newest keyframe, which the tracking reference is)."""
+        prot = {self.tracker.last_kf_id}
+        if self.loop_closer is not None:
+            prot |= {
+                k
+                for i, j, _ in self.loop_closer.loop_edges
+                for k in (i, j)
+            }
+        return prot
+
+    def _on_kf_culled(self, k: int) -> None:
+        """A culled keyframe's pose freezes while BA / loop corrections
+        keep moving live keyframes — re-express trajectory records
+        referencing it through its nearest live ancestor NOW, while the
+        poses are still mutually consistent (the reference freezes mTcp
+        at SetBadFlag time and walks the chain at save time,
+        KeyFrame.cc:552-563 + System.cc:303-311; measured here:
+        aggressive culling under sparse sequential selection left
+        stale-ref records that re-chained 0.057 m drift into 0.45 m)."""
+        m = self.map
+        a = k
+        hops = 0
+        while a > 0 and not m.kf_valid[a] and hops <= m.n_keyframes:
+            p = int(m.kf_parent[a])
+            a = p if 0 <= p < a else a - 1
+            hops += 1
+        if not (m.kf_valid[a] or a == 0):
+            a = 0
+        delta = m.kf_pose[k].astype(np.float64) @ np.linalg.inv(
+            m.kf_pose[a].astype(np.float64)
+        )
+        for r in self.tracker.trajectory:
+            if r.ref_kf == k:
+                r.rel_pose = (
+                    r.rel_pose.astype(np.float64) @ delta
+                ).astype(np.float32)
+                r.ref_kf = int(a)
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe_culled(k)
 
     def attach_vocabulary(self, voc) -> None:
         """Enable loop closing + relocalization with a vocabulary built
@@ -188,13 +232,27 @@ class System:
                 trk = float(s[ts.S_N_TRACKED]) if s is not None else 0.0
                 prev_trk = getattr(self, "_prev_tracked", 0.0)
                 self._prev_tracked = trk
-                crisis = (
-                    s is not None
-                    and not self.tracker.only_tracking
-                    and (
-                        trk < 256
-                        or (prev_trk > 0 and trk < 0.78 * prev_trk)
-                    )
+                # crisis applies in localization mode too: keyframe
+                # delivery is moot there, but synchronous retire also
+                # FRESHENS the velocity/pose feedback — with depth-3
+                # lag the constant-velocity prediction compounds 3
+                # frames of yaw error mid-corner, which is exactly
+                # where replay runs lose tracking (measured: 2x 5-frame
+                # loss bursts at the corners of the localization
+                # replay, none elsewhere)
+                # absolute floor scales with the selection regime:
+                # sequential SIVO selection tracks ~1/5 the points of
+                # batch mode by design (the paper's sparsity), so the
+                # batch-tuned 256 floor would keep it in permanent
+                # crisis (measured: 175/190 crisis frames)
+                floor = (
+                    96
+                    if self.cfg.semantic.sequential_selection
+                    else 256
+                )
+                crisis = s is not None and (
+                    trk < floor
+                    or (prev_trk > 0 and trk < 0.78 * prev_trk)
                 )
                 if crisis:
                     self.crisis_frames = (
@@ -305,6 +363,46 @@ class System:
         """ref: System.cc:233-243."""
         self.tracker.only_tracking = False
 
+    def seed_localization_pose(
+        self, pose_tcw: np.ndarray, ref_kf: int
+    ) -> None:
+        """Re-seed tracking at a known pose + reference keyframe.
+
+        For localization replays that JUMP in time (the bench re-runs
+        a window of past frames against the frozen map): tracking from
+        the final pose against a far-away image is a kidnapped-robot
+        scenario with no reference analog — the reference's
+        localization mode always continues from the current pose
+        (System.cc:220-231). Clears the velocity model and re-anchors
+        the reference keyframe + local map, like relocalization does."""
+        from sivo_tpu.runtime import device_map as dm_mod
+
+        tr = self.tracker
+        ref_kf = int(ref_kf)
+        if not self.map.kf_valid[ref_kf]:
+            valid = np.where(
+                self.map.kf_valid[: self.map.n_keyframes]
+            )[0]
+            c = -pose_tcw[:3, :3].T @ pose_tcw[:3, 3]
+            centers = np.stack(
+                [self.map.kf_camera_center(int(k)) for k in valid]
+            )
+            ref_kf = int(
+                valid[np.argmin(((centers - c) ** 2).sum(1))]
+            )
+        tr.last_kf_id = ref_kf
+        tr._ref_desc_bits = dm_mod.unpack_bits(
+            tr.kf_store.desc_u8[ref_kf]
+        )
+        tr._ref_angle = tr.kf_store.angle[ref_kf]
+        pts = self.mapper._kf_point_ids(ref_kf)
+        tr._ref_pt_idx = jnp.asarray(pts.astype(np.int32))
+        tr.refresh_local_map(ref_kf)
+        tr.carry = tr.carry._replace(
+            pose=jnp.asarray(pose_tcw.astype(np.float32)),
+            has_velocity=jnp.asarray(False),
+        )
+
     def _relocalize(self, f, timestamp: float) -> Optional[np.ndarray]:
         """Relocalization from the keyframe database
         (ref: Tracking.cc:1237-1396): BoW candidates -> brute-force
@@ -348,7 +446,7 @@ class System:
             m = match_mod.search_brute_force(
                 lc._kf_bits(cand, self.tracker),
                 jnp.asarray(pts >= 0),
-                jnp.asarray(d.angle),
+                self.tracker.kf_store.angle[cand],
                 f.desc_bits, f.semantic, f.angle,
                 nn_ratio=0.75,  # ref: Tracking.cc:1255
             )
@@ -452,7 +550,7 @@ class System:
             # map matching against the wrong neighborhood)
             tr.last_kf_id = cand
             tr._ref_desc_bits = lc._kf_bits(cand, tr)
-            tr._ref_angle = jnp.asarray(d.angle)
+            tr._ref_angle = tr.kf_store.angle[cand]
             tr._ref_pt_idx = jnp.asarray(pts.astype(np.int32))
             tr.refresh_local_map(cand)
             tr.carry = tr.carry._replace(

@@ -655,7 +655,8 @@ class Tracker:
         self.kf_store = kfs_mod.insert(
             self.kf_store,
             jnp.int32(kf_slot),
-            frame.xy, frame.level, frame.desc_u8, frame.u_right,
+            frame.xy, frame.level, frame.angle, frame.desc_u8,
+            frame.u_right,
             frame.semantic, frame.sem_class, frame.sem_confidence,
             frame.sem_entropy,
         )

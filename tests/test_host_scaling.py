@@ -89,3 +89,72 @@ def test_host_ops_stay_flat_at_500_keyframes():
     m.covis_top10()
     dt_top = time.time() - t0
     assert dt_top < 1.0, f"covis_top10 {dt_top:.3f}s"
+
+
+def test_replace_points_batch_matches_sequential():
+    """replace_points_batch (one table pass) must produce the same
+    observation table and counters as sequential replace_point calls
+    (ref: MapPoint.cc:225-261 Replace) — including chains and
+    keyframes that already observe the keep point."""
+    import copy
+
+    def build():
+        m = MapState(max_keyframes=64, max_points=512, kp_capacity=64)
+        rng = np.random.default_rng(3)
+        m.n_points = 400
+        m.pt_valid[:400] = True
+        m.pt_found[:400] = rng.integers(1, 20, 400)
+        m.pt_visible[:400] = rng.integers(1, 30, 400)
+        for k in range(20):
+            m.n_keyframes = k + 1
+            pts = rng.choice(400, 40, replace=False)
+            m.add_observations(
+                k, pts, rng.choice(64, 40, replace=False)
+            )
+        return m
+
+    # pairs resolved through a replaced-dict exactly like
+    # mapping._fuse_apply does before queueing (the usage contract:
+    # keeps are never already-killed points; chains only run forward)
+    rng = np.random.default_rng(7)
+    replaced: dict[int, int] = {}
+    valid = np.ones(400, bool)
+    pairs = []
+    for _ in range(60):
+        a, b = (int(x) for x in rng.choice(400, 2, replace=False))
+        a = replaced.get(a, a)
+        b = replaced.get(b, b)
+        if a == b or not (valid[a] and valid[b]):
+            continue
+        pairs.append((a, b))
+        valid[a] = False
+        replaced[a] = b
+
+    m_seq = build()
+    for kill, keep in pairs:
+        m_seq.replace_point(kill, keep)
+    m_bat = build()
+    m_bat.replace_points_batch(
+        np.array([p[0] for p in pairs]),
+        np.array([p[1] for p in pairs]),
+    )
+
+    def canon(m):
+        obs = m.observations()
+        order = np.lexsort((obs[:, 2], obs[:, 1], obs[:, 0]))
+        return obs[order]
+
+    np.testing.assert_array_equal(canon(m_seq), canon(m_bat))
+    np.testing.assert_array_equal(m_seq.pt_valid, m_bat.pt_valid)
+    # counters compare on LIVE points only: sequential Replace inflates
+    # an intermediate keep's counter before a later pair kills it; the
+    # batch leaves the dead slot at its original value. Dead-slot
+    # counters are never consumed (found/visible ratios and culling
+    # filter on pt_valid first).
+    live = m_seq.pt_valid
+    np.testing.assert_array_equal(
+        m_seq.pt_found[live], m_bat.pt_found[live]
+    )
+    np.testing.assert_array_equal(
+        m_seq.pt_visible[live], m_bat.pt_visible[live]
+    )

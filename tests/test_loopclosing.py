@@ -132,6 +132,7 @@ def loop_setup():
         tracker.kf_store = kfs_mod.insert(
             tracker.kf_store, jnp.int32(kf),
             jnp.asarray(data.xy), jnp.asarray(data.level),
+            jnp.asarray(data.angle),
             jnp.asarray(data.desc_u8), jnp.asarray(data.u_right),
             jnp.asarray(data.semantic), jnp.asarray(data.sem_class),
             jnp.asarray(data.sem_confidence),
