@@ -671,6 +671,25 @@ def track_step(
             th_entropy, cam.fx, cam.fy, cam.bf / cam.fx,
             min_select=seq_min_select,
         )
+        # supply floor, unconditionally: the scan's internal floor
+        # accepts only POSITIVE-information candidates, and once the
+        # covariance has collapsed every score is <= 0 — measured:
+        # ~40 points/keyframe regardless of seq_min_select, and the
+        # sparse map starved through corners (three runs lost 2/51/65
+        # frames on relay-timing luck alone). Top up to the floor by
+        # initial-covariance score rank, exactly the batch-mode floor.
+        scores0 = info_ops.entropy_reduction_stereo(
+            cov_pred, xc_kp, sigma2, frame.sem_entropy,
+            cam.fx, cam.fy, cam.bf / cam.fx,
+        )
+        rank0 = jnp.where(
+            sel_mask, jnp.inf,
+            jnp.where(candidate, scores0, -jnp.inf),
+        )
+        kth0 = jax.lax.top_k(rank0, seq_min_select)[0][-1]
+        sel_mask = sel_mask | (
+            candidate & (rank0 >= kth0) & jnp.isfinite(rank0)
+        )
     else:
         # reference-binary semantics: ONE static covariance for every
         # score (no between-pick shrink, sivo_helpers.cpp:221-240 is
