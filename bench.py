@@ -375,9 +375,15 @@ def main() -> None:
     if cnn_mode:
         from sivo_tpu.models import caffe_io
 
-        system.segnet_params = caffe_io.merge_params(
-            system.segnet_params,
-            caffe_io.load_segnet_params(cnn_model_path, "basic"),
+        # device_put once: merge_params returns host numpy, and numpy
+        # params passed into the jitted builder re-upload the full
+        # ~6 MB parameter set EVERY frame (measured: build_frame
+        # 13.5 -> 378 ms in CNN mode before this line)
+        system.segnet_params = jax.device_put(
+            caffe_io.merge_params(
+                system.segnet_params,
+                caffe_io.load_segnet_params(cnn_model_path, "basic"),
+            )
         )
 
     # ONE flat uint8 upload per frame: relay transactions cost

@@ -189,10 +189,16 @@ class LoopCloser:
                 # completeness (the reference's thread also lags its
                 # queue); keep at most 2 attempts in flight.
                 if len(self._sim3q) < 2:
+                    # top-3 candidates per attempt: each candidate
+                    # evaluation costs 3-4 relay round-trips spread
+                    # over frames, and on self-similar corridor
+                    # scenery the consistency gate passes dozens of
+                    # false candidates per lap (measured: ~25 full
+                    # sim3 evaluations for one true loop)
                     self._sim3q.append(
                         {
                             "kf": kf_idx,
-                            "cands": list(cands),
+                            "cands": list(cands)[:3],
                             "stage": "new",
                         }
                     )
