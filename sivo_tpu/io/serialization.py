@@ -21,6 +21,16 @@ _KF_FIELDS = (
 
 
 def save_map(path: str, m: MapState) -> None:
+    """Serialize the host map. Callers with a live pipeline should
+    flush first (System.flush finishes pending keyframe bookkeeping);
+    a queued-but-unadmitted keyframe would leave kf_data[k] = None
+    here, which raises a clear error instead of an AttributeError."""
+    for k in range(m.n_keyframes):
+        if m.kf_data[k] is None:
+            raise RuntimeError(
+                f"save_map: keyframe {k} has pending host bookkeeping"
+                " — call System.flush() before saving"
+            )
     K = m.n_keyframes
     P = m.n_points
     payload: dict[str, np.ndarray] = {

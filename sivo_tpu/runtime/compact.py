@@ -111,8 +111,12 @@ def should_compact(system) -> bool:
         if m.n_keyframes
         else 0.0
     )
-    critical = (pt_occ > 0.97 and pt_dead > 0.01) or (
-        kf_occ > 0.97 and kf_dead > 0.01
+    # 0.95: the in-flight pipeline keeps minting between this trigger
+    # and the drained-compaction point (~2 keyframes ≈ 1000 points),
+    # and the GBA-defer below can stretch that window further — at
+    # 0.97 a 12-lap endurance run reached the hard capacity mid-drain
+    critical = (pt_occ > 0.95 and pt_dead > 0.01) or (
+        kf_occ > 0.95 and kf_dead > 0.01
     )
     lc = getattr(system, "loop_closer", None)
     if lc is not None and lc._gba is not None and not critical:

@@ -620,6 +620,22 @@ class LocalMapper:
         kp1_idx = np.where(any_acc)[0]
         if len(kp1_idx) == 0:
             return
+        # host-capacity truncation BEFORE minting: host and device maps
+        # must mint the SAME points in creation order (the id-lockstep
+        # contract), so the cut happens on the candidate list, not
+        # inside either store. In-flight triangulations can land
+        # between the compaction trigger and the compaction itself
+        # (measured: a 12-lap endurance run died at frame ~1780 on the
+        # old capacity raise).
+        avail = m.max_points - m.n_points
+        if len(kp1_idx) > avail:
+            self.cap_binds["tri_capacity"] = (
+                self.cap_binds.get("tri_capacity", 0)
+                + len(kp1_idx) - avail
+            )
+            kp1_idx = kp1_idx[:avail]
+            if len(kp1_idx) == 0:
+                return
         nb_of = first_nb[kp1_idx]
         xw = np.asarray(out["xw"])[nb_of, kp1_idx]
         kp2_idx = np.asarray(out["kp2"])[nb_of, kp1_idx]
