@@ -670,9 +670,6 @@ def main() -> None:
             "points_dropped": getattr(
                 system.tracker, "points_dropped", 0
             ),
-            "host_points_dropped": getattr(
-                system.map, "host_points_dropped", 0
-            ),
             "compactions": getattr(system, "compactions", 0),
             "peak_point_slots": max(
                 int(system.map.n_points),

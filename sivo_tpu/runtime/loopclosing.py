@@ -385,13 +385,17 @@ class LoopCloser:
         a["pts1"] = self._kf_point_ids(kf_idx)
         a["pts2"] = self._kf_point_ids(cand)
         # angles ride the device keyframe store (one slot gather) —
-        # host uploads here would queue on the shared relay
+        # host uploads here would queue on the shared relay; the two
+        # has-map-point masks ship as ONE packed upload
+        has12 = jnp.asarray(
+            np.stack([a["pts1"] >= 0, a["pts2"] >= 0])
+        )
         m = matching.search_brute_force(
             self._kf_bits(kf_idx, tracker),
-            jnp.asarray(a["pts1"] >= 0),
+            has12[0],
             tracker.kf_store.angle[kf_idx],
             self._kf_bits(cand, tracker),
-            jnp.asarray(a["pts2"] >= 0),
+            has12[1],
             tracker.kf_store.angle[cand],
             nn_ratio=0.75,  # ref: LoopClosing.cc:249
         )
@@ -433,23 +437,32 @@ class LoopCloser:
         pc1 = pw1 @ T1[:3, :3].T + T1[:3, 3]
         pc2 = pw2 @ T2[:3, :3].T + T2[:3, 3]
 
-        def pad(arr, shape):
-            out = np.zeros(shape, np.float32)
-            out[: len(arr)] = arr
-            return jnp.asarray(out)
-
+        # ONE packed upload for the whole RANSAC input (7 per-array
+        # uploads each cost a relay transaction under load); columns
+        # sliced back on device
         n = len(pairs)
         valid = np.zeros(n_cap, bool)
         valid[:n] = True
         sf = self.cfg.orb.scale_factor
+        packed = np.zeros((n_cap, 13), np.float32)
+        packed[:n, 0:3] = pc1
+        packed[:n, 3:6] = pc2
+        packed[:n, 6:8] = d1.xy[idx1]
+        packed[:n, 8:10] = d2.xy[idx2]
+        packed[:, 10] = (1.0 - valid)
+        packed[:n, 10] += sf ** (2.0 * d1.level[idx1])
+        packed[:, 11] = (1.0 - valid)
+        packed[:n, 11] += sf ** (2.0 * d2.level[idx2])
+        packed[:, 12] = valid
+        pk = jnp.asarray(packed)
         res = sim3_opt.ransac_sim3(
-            pad(pc1, (n_cap, 3)),
-            pad(pc2, (n_cap, 3)),
-            pad(d1.xy[idx1], (n_cap, 2)),
-            pad(d2.xy[idx2], (n_cap, 2)),
-            pad(sf ** (2.0 * d1.level[idx1]), (n_cap,)) + (1 - valid),
-            pad(sf ** (2.0 * d2.level[idx2]), (n_cap,)) + (1 - valid),
-            jnp.asarray(valid),
+            pk[:, 0:3],
+            pk[:, 3:6],
+            pk[:, 6:8],
+            pk[:, 8:10],
+            pk[:, 10],
+            pk[:, 11],
+            pk[:, 12] > 0.5,
             jax.random.key(kf_idx),
             self.cam,
             fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
@@ -506,14 +519,20 @@ class LoopCloser:
                 self.cfg.orb.scale_factor
                 ** np.arange(self.cfg.orb.n_levels, dtype=np.float32)
             )
-        # keypoint xy/level ride the device keyframe store; only the
-        # host-truth point clouds cross the relay
+        # keypoint xy/level ride the device keyframe store; the host-
+        # truth point clouds cross the relay as ONE packed upload
+        pk = np.zeros((2, len(pts1), 4), np.float32)
+        pk[0, :, :3] = pc1_all
+        pk[0, :, 3] = has1
+        pk[1, :, :3] = pc2_all
+        pk[1, :, 3] = has2
+        pkd = jnp.asarray(pk)
         m12 = matching.search_by_sim3(
             g12.s, g12.R, g12.t,
-            jnp.asarray(pc1_all), jnp.asarray(has1),
+            pkd[0, :, :3], pkd[0, :, 3] > 0.5,
             tracker.kf_store.xy[kf_idx], tracker.kf_store.level[kf_idx],
             self._kf_bits(kf_idx, tracker),
-            jnp.asarray(pc2_all), jnp.asarray(has2),
+            pkd[1, :, :3], pkd[1, :, 3] > 0.5,
             tracker.kf_store.xy[cand], tracker.kf_store.level[cand],
             self._kf_bits(cand, tracker),
             scales,

@@ -165,29 +165,11 @@ class MapState:
         (ref: MapPoint.cc:32-59, UpdateNormalAndDepth 368-411)."""
         m = len(positions)
         if self.n_points + m > self.max_points:
-            # LOUD graceful overflow, mirroring the device map's
-            # drop-at-capacity: raising here kills a whole run when an
-            # in-flight triangulation lands between the compaction
-            # trigger and the compaction itself (measured: 12-lap
-            # endurance died at frame ~1780 on the old raise). The
-            # dropped count surfaces via host_points_dropped.
-            keep = max(self.max_points - self.n_points, 0)
-            self.host_points_dropped = (
-                getattr(self, "host_points_dropped", 0) + (m - keep)
-            )
-            print(
-                f"[map] WARNING: host point capacity full — dropped "
-                f"{m - keep} new points at kf {kf_idx}",
-                flush=True,
-            )
-            m = keep
-            positions = positions[:m]
-            desc_u8 = desc_u8[:m]
-            classes = classes[:m]
-            kp_indices = kp_indices[:m]
-            levels = levels[:m]
-            if m == 0:
-                return np.zeros(0, np.int64)
+            # callers must pre-truncate to remaining capacity (the
+            # mapper does, mapping._tri_apply) — a partial add here
+            # would return fewer ids than the caller's aligned index
+            # arrays and silently desync the host/device id lockstep
+            raise RuntimeError("map point capacity exceeded")
         ids = np.arange(self.n_points, self.n_points + m)
         cam_center = self.kf_camera_center(kf_idx)
         d = positions - cam_center

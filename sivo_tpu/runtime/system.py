@@ -250,9 +250,22 @@ class System:
                     if self.cfg.semantic.sequential_selection
                     else 256
                 )
+                # localization mode: only the COLLAPSE trigger — the
+                # absolute floor reflects map-supply health, which a
+                # frozen map cannot change; staying under it through a
+                # sparse stretch would pin the replay synchronous
+                # (measured: tracking_only 4.2 -> 2.9 FPS) without
+                # preventing any loss the collapse trigger misses
+                collapse = prev_trk > 0 and trk < 0.78 * prev_trk
+                # trk < 32: a sustained loss has prev_trk == 0, so the
+                # collapse trigger fires only on the transition frame;
+                # staying synchronous through the lost stretch gives
+                # relocalization per-frame feedback instead of
+                # pipeline-depth-stale poses
                 crisis = s is not None and (
-                    trk < floor
-                    or (prev_trk > 0 and trk < 0.78 * prev_trk)
+                    collapse
+                    or trk < 32
+                    or (trk < floor and not self.tracker.only_tracking)
                 )
                 if crisis:
                     self.crisis_frames = (

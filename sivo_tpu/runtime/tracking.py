@@ -408,6 +408,18 @@ class Tracker:
                 ticket.frame, ticket.result, timestamp, fid,
                 stale=stale, correction=ticket.correction,
             )
+            # reserve the device's mints on the host counter NOW, in
+            # dispatch order: the device map assigned ids for this
+            # keyframe's S_N_SELECTED new points in the program just
+            # dispatched, but the host mirror lands only at
+            # finish_kf_host — a triangulation apply in between would
+            # otherwise mint host ids the device has already given to
+            # these points (id-lockstep corruption, found in review).
+            # mirror_points' max() later makes this idempotent.
+            n_sel = int(summary[ts.S_N_SELECTED])
+            self.map.n_points = min(
+                self.map.n_points + n_sel, self.map.max_points
+            )
             self.kf_created = self.last_kf_id
             if self.mapper is None:
                 # standalone tracker (no mapping pipeline to admit the
