@@ -197,15 +197,19 @@ def _warm_loop_programs(system) -> None:
     )
     _ = fetch_packed({"p": system.tracker.dmap.pt_pos[:1]})
 
-    # chunked full-map GBA (the path taken once the map outgrows the
-    # dense caps — the bench map does by the first loop closure).
-    # Buckets are smallest-fit; warm MID always, BIG only for
-    # endurance-scale runs (each bucket shape is its own compile).
+    # stepped full-map PCG GBA (the path taken once the map outgrows
+    # the dense caps — the bench map does by the first loop closure).
+    # Buckets are smallest-fit; warm MID always, BIG too for
+    # endurance-scale runs (each bucket shape is its own compile; the
+    # MAX 2048-KF bucket only fires past 256 keyframes, which no bench
+    # config reaches — left cold).
     import os as _os_w
+
+    from sivo_tpu.optim import gba_cg
 
     endurance = int(_os_w.environ.get("SIVO_BENCH_LAPS", "1")) > 1
     buckets = (
-        lc.GBA_BUCKETS if endurance else lc.GBA_BUCKETS[:1]
+        lc.GBA_BUCKETS[:2] if endurance else lc.GBA_BUCKETS[:1]
     )
     for kf_b, pt_b, obs_b in buckets:
         cprob = local_ba.BAProblem(
@@ -221,15 +225,9 @@ def _warm_loop_programs(system) -> None:
             obs_is_stereo=jnp.zeros(obs_b, bool),
             obs_valid=jnp.zeros(obs_b, bool),
         )
-        ccarry = local_ba.gba_chunked_begin(
-            cprob, cam, o_chunk=lc.O_CHUNK
-        )
-        ccarry = local_ba.gba_chunked_step(
-            ccarry, cprob, cam, o_chunk=lc.O_CHUNK
-        )
-        cres = local_ba.gba_chunked_finish(
-            ccarry, cprob, cam, o_chunk=lc.O_CHUNK
-        )
+        ccarry = gba_cg.gba_cg_begin(cprob, cam)
+        ccarry = gba_cg.gba_cg_step(ccarry, cprob, cam)
+        cres = gba_cg.gba_cg_finish(ccarry, cprob, cam)
         _ = fetch_packed(
             {
                 "kf_pose": cres.kf_pose,
@@ -447,28 +445,40 @@ def main() -> None:
                 jax.random.key(i),
             )
 
-    # train a session vocabulary on ORB descriptors sampled across the
-    # whole lap (the reference ships a ~1M-word pre-trained ORBvoc.txt,
-    # absent here). k=10/depth=4 (up to 10^4 words) — round 2's 512-word
-    # vocabulary scored every corridor view alike, starving loop
-    # detection's minScore gate of discrimination. Cached: k-medians
-    # over ~50k descriptors costs ~1 min of host time.
-    voc_cache = f"/tmp/sivo_bench_voc_{cache_key}.npz"
-    if os.path.exists(voc_cache):
-        voc = voc_mod.load_npz(voc_cache)
+    # vocabulary: prefer the OFFLINE vocabulary trained on imagery
+    # disjoint from this bench sequence (tools/train_offline_vocab.py,
+    # k=10/depth=5 — the reference's pre-trained-ORBvoc.txt role,
+    # System.cc:75-82). Round 3 trained a <=10^4-word SESSION
+    # vocabulary on 8 frames of the bench sequence itself — circular,
+    # and too weak to discriminate the self-similar corridor (55-58
+    # Sim3 evaluations for one true loop). SIVO_BENCH_VOC overrides
+    # the path; SIVO_BENCH_VOC=session forces the old behavior.
+    voc_env = _os.environ.get("SIVO_BENCH_VOC", "")
+    offline_voc = voc_env or _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "sivo_tpu", "place", "data", "orbvoc_synth.npz",
+    )
+    if voc_env != "session" and _os.path.exists(offline_voc):
+        voc = voc_mod.load_npz(offline_voc)
     else:
-        voc_desc = []
-        for i in range(0, n_frames, max(n_frames // 8, 1)):
-            build(i)
-            f = built[i]
-            h = fetch_packed(
-                {"desc": f.desc_u8, "sem": f.semantic}
+        voc_cache = f"/tmp/sivo_bench_voc_{cache_key}.npz"
+        if os.path.exists(voc_cache):
+            voc = voc_mod.load_npz(voc_cache)
+        else:
+            voc_desc = []
+            for i in range(0, n_frames, max(n_frames // 8, 1)):
+                build(i)
+                f = built[i]
+                h = fetch_packed(
+                    {"desc": f.desc_u8, "sem": f.semantic}
+                )
+                voc_desc.append(
+                    np.asarray(h["desc"])[np.asarray(h["sem"])]
+                )
+            voc = voc_mod.train(
+                np.concatenate(voc_desc), k=10, depth=4, seed=0
             )
-            voc_desc.append(np.asarray(h["desc"])[np.asarray(h["sem"])])
-        voc = voc_mod.train(
-            np.concatenate(voc_desc), k=10, depth=4, seed=0
-        )
-        voc_mod.save_npz(voc_cache, voc)
+            voc_mod.save_npz(voc_cache, voc)
     system.attach_vocabulary(voc)
 
     def run_frame(i: int) -> None:
@@ -667,6 +677,22 @@ def main() -> None:
             "sel_cap_binds": getattr(
                 system.tracker, "sel_cap_binds", 0
             ),
+            # SEL_CAP truncation audit (round-3 weak #7): candidates
+            # beyond the cap and the best score among them vs the gate
+            "sel_trunc_cands": getattr(
+                system.tracker, "sel_trunc_cands", 0
+            ),
+            "sel_trunc_best_bits": round(
+                float(
+                    getattr(system.tracker, "sel_trunc_best", -1.0)
+                ),
+                2,
+            ),
+            "sel_trunc_mean_best_bits": round(
+                getattr(system.tracker, "sel_trunc_best_sum", 0.0)
+                / max(getattr(system.tracker, "sel_cap_binds", 0), 1),
+                2,
+            ),
             "points_dropped": getattr(
                 system.tracker, "points_dropped", 0
             ),
@@ -705,7 +731,39 @@ def main() -> None:
             },
         },
     }
-    print(json.dumps(result))
+    # Output robustness (round-3 verdict weak #9): the driver captures
+    # the TAIL of stdout, and the full JSON line is several KB — its
+    # head got truncated in BENCH_r03. Emit (a) the full JSON to a
+    # file, (b) the full JSON line first, (c) a COMPACT one-line JSON
+    # (headline + small detail) LAST so any tail capture parses.
+    full = json.dumps(result)
+    out_path = os.environ.get("SIVO_BENCH_OUT", "/tmp/sivo_bench_last.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass
+    print(full)
+    compact = {
+        k: result[k]
+        for k in ("metric", "semantics", "value", "unit", "vs_baseline")
+        if k in result
+    }
+    d = result["detail"]
+    compact["detail"] = {
+        k: d[k]
+        for k in (
+            "frames", "lost", "lost_final", "resets", "keyframes",
+            "map_points", "loops_closed", "ate_m",
+            "ate_m_before_correction", "compactions",
+            "peak_point_slots", "peak_kf_slots", "crisis_frames",
+            "tracking_only_fps", "lost_localization_replay",
+            "ms_per_frame",
+        )
+        if k in d
+    }
+    compact["full_json"] = out_path
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -137,6 +137,13 @@ class LoopConfig:
     sim3_ransac_max_iters: int = 300
     min_total_matches: int = 40
     essential_edge_min_weight: int = 100
+    # Sim3 pre-gate (beyond the reference, round-3 measurement: 55-58
+    # Sim3 evaluations / ~9.5 s for ONE true loop on self-similar
+    # corridor scenery): a consistency-passing candidate dispatches the
+    # multi-round-trip Sim3 attempt only when its L1 score clears
+    # margin * min_score — a true revisit scores well above the worst
+    # covisible neighbour, a corridor lookalike hovers just over it.
+    sim3_score_margin: float = 1.3
 
 
 @dataclass(frozen=True)

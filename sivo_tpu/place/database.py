@@ -17,6 +17,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from sivo_tpu.place import vocabulary as voc_mod
+
 
 @dataclass
 class KeyFrameDatabase:
@@ -25,22 +27,37 @@ class KeyFrameDatabase:
     n_words: int
     inverted: dict[int, list[int]] = field(default_factory=dict)
     bow: dict[int, dict[int, float]] = field(default_factory=dict)
+    # sorted-array mirror of ``bow`` for vectorized L1 scoring
+    # (rebuilt lazily after compaction rewrites ``bow`` directly)
+    bow_arr: dict[int, tuple] = field(default_factory=dict)
 
     def add(self, kf_idx: int, bow_vec: dict[int, float]) -> None:
         """ref: KeyFrameDatabase.cc:35-47."""
         self.bow[kf_idx] = bow_vec
+        self.bow_arr[kf_idx] = voc_mod.bow_arrays(bow_vec)
         for wid in bow_vec:
             self.inverted.setdefault(wid, []).append(kf_idx)
 
     def erase(self, kf_idx: int) -> None:
         """ref: KeyFrameDatabase.cc:49-65."""
         vec = self.bow.pop(kf_idx, None)
+        self.bow_arr.pop(kf_idx, None)
         if vec is None:
             return
         for wid in vec:
             lst = self.inverted.get(wid)
             if lst and kf_idx in lst:
                 lst.remove(kf_idx)
+
+    def score(self, query_arr: tuple, kf_idx: int) -> float:
+        """Vectorized L1 score of a query (bow_arrays form) against a
+        stored keyframe."""
+        arr = self.bow_arr.get(kf_idx)
+        if arr is None:  # bow rewritten externally (compaction)
+            arr = self.bow_arr[kf_idx] = voc_mod.bow_arrays(
+                self.bow[kf_idx]
+            )
+        return voc_mod.l1_score_arrays(query_arr, arr)
 
     def _shared_word_counts(
         self, bow_vec: dict[int, float], exclude: set[int]
@@ -59,7 +76,8 @@ class KeyFrameDatabase:
         min_score: float,
         connected: set[int],
         covisible_groups: dict[int, list[int]],
-        score_fn,
+        score_fn=None,
+        scores_out: dict | None = None,
     ) -> list[int]:
         """ref: KeyFrameDatabase.cc:72-202 DetectLoopCandidates.
 
@@ -67,7 +85,12 @@ class KeyFrameDatabase:
           connected: covisible KFs of the query (excluded).
           covisible_groups: kf -> its top covisible neighbors (for
             accumulated group scores).
-          score_fn: (bow_a, bow_b) -> similarity (L1).
+          score_fn: optional (bow_a, bow_b) -> similarity over dict
+            vectors; default is the built-in vectorized L1 (identical
+            result, ~100x faster at session scale).
+          scores_out: optional dict filled with {kf: l1_score} for
+            every shared-word-gated candidate (the caller's Sim3
+            pre-gate reads it — saves re-scoring).
         """
         exclude = set(connected) | {kf_idx}
         counts = self._shared_word_counts(bow_vec, exclude)
@@ -75,12 +98,19 @@ class KeyFrameDatabase:
             return []
         max_common = max(counts.values())
         min_common = 0.8 * max_common  # ref: :120-129
+        query_arr = voc_mod.bow_arrays(bow_vec)
         # score candidates above the shared-word and minScore gates
         scored = []
         for kf, c in counts.items():
             if c <= min_common:
                 continue
-            s = score_fn(bow_vec, self.bow[kf])
+            s = (
+                score_fn(bow_vec, self.bow[kf])
+                if score_fn is not None
+                else self.score(query_arr, kf)
+            )
+            if scores_out is not None:
+                scores_out[kf] = s
             if s >= min_score:  # ref: :147
                 scored.append((kf, s))
         if not scored:
@@ -113,7 +143,7 @@ class KeyFrameDatabase:
         self,
         bow_vec: dict[int, float],
         covisible_groups: dict[int, list[int]],
-        score_fn,
+        score_fn=None,
     ) -> list[int]:
         """ref: KeyFrameDatabase.cc:204-324 — like loop candidates but
         no minScore / no connected exclusion."""
@@ -122,8 +152,14 @@ class KeyFrameDatabase:
             return []
         max_common = max(counts.values())
         min_common = 0.8 * max_common
+        query_arr = voc_mod.bow_arrays(bow_vec)
         scored = [
-            (kf, score_fn(bow_vec, self.bow[kf]))
+            (
+                kf,
+                score_fn(bow_vec, self.bow[kf])
+                if score_fn is not None
+                else self.score(query_arr, kf),
+            )
             for kf, c in counts.items()
             if c > min_common
         ]

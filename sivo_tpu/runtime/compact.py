@@ -267,6 +267,9 @@ def compact_map(system) -> dict:
             if nk >= 0:
                 new_bow[nk] = v
         db.bow = new_bow
+        # the array mirror is keyed by OLD kf ids — drop it wholesale
+        # (db.score lazily rebuilds entries from the remapped bow)
+        db.bow_arr = {}
         inv: dict[int, list[int]] = {}
         for nk, v in new_bow.items():
             for wid in v:

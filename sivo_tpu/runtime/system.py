@@ -449,7 +449,7 @@ class System:
         )
         bow = voc_mod.bow_vector(lc.voc, words)
         cands = lc.db.detect_relocalization_candidates(
-            bow, lc._covis_groups(), voc_mod.l1_score
+            bow, lc._covis_groups()
         )
         if dbg:
             print(f"  [reloc] candidates={cands[:5]}", flush=True)
@@ -545,6 +545,45 @@ class System:
             n_in = int(jax.device_get(final.n_inliers))
             if dbg:
                 print(f"  [reloc] polish inliers={n_in}", flush=True)
+            if 15 <= n_in < 50:
+                # fine round (ref: Tracking.cc:1360-1385): a second,
+                # NARROW projection pass (window th=3) around the
+                # polished pose — the coarse th=10 window mismatches
+                # on repetitive texture exactly when the PnP pose is
+                # already close; the tight window recovers the true
+                # correspondences and a final optimization re-counts.
+                proj2 = np.asarray(
+                    jax.device_get(
+                        self._reloc_project_program(
+                            tr.dmap, jnp.asarray(pad), final.pose,
+                            f.xy, f.level, f.desc_bits, f.u_right,
+                            f.semantic,
+                            jnp.float32(3.0),  # ref fine window th=3
+                            tr.cam, self.cfg.orb.scale_factor,
+                            self.cfg.orb.n_levels,
+                        )
+                    )
+                )
+                merged2 = pt_ids.copy()
+                fill2 = (merged2 < 0) & (proj2 >= 0)
+                merged2[fill2] = proj2[fill2]
+                pt_ids = merged2
+                has = pt_ids >= 0
+                pw = np.zeros((f.capacity, 3), np.float32)
+                pw[has] = self.map.pt_pos[pt_ids[has]]
+                obs = obs._replace(
+                    points=jnp.asarray(pw),
+                    valid=jnp.asarray(has),
+                )
+                final = pose_lm.optimize_pose(
+                    final.pose, obs, self.tracker.cam
+                )
+                n_in = int(jax.device_get(final.n_inliers))
+                if dbg:
+                    print(
+                        f"  [reloc] fine-round inliers={n_in}",
+                        flush=True,
+                    )
             if n_in < 50:
                 continue
             # success: rebuild the tracker carry at the new pose

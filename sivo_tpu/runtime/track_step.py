@@ -96,6 +96,11 @@ S_MOT_DEV = 65  # metres between stage-1 optimum and the prediction
 S_ROT_DEV = 66  # radians between stage-1 optimum and the prediction
 S_ROT_DEV_S1 = 67  # same for the TAKEN stage-1 branch (motion/fallback)
 S_SEL_CAP_BIND = 68  # 1.0 when selection candidates exceeded SEL_CAP
+S_N_CANDIDATES = 69  # selection candidates this frame (pre-cap)
+S_SEL_TRUNC_BEST = 70  # best initial-cov score among candidates the
+#                        SEL_CAP index-order walk never reached (bits;
+#                        -inf when nothing truncated) — round-3 weak #7:
+#                        the cap bound 2/3 of frames unmeasured
 SUMMARY_LEN = 72
 
 
@@ -655,6 +660,13 @@ def track_step(
     # any long path; the camera-frame position is the physically
     # correct (translation-invariant) evaluation point.
     candidate = frame.semantic & (frame.depth > 0) & (pt_idx_f < 0)
+    # static-covariance scores (used by the batch mode directly, by the
+    # sequential mode's supply floor, and by the SEL_CAP truncation
+    # audit below)
+    scores0 = info_ops.entropy_reduction_stereo(
+        cov_pred, xc_kp, sigma2, frame.sem_entropy,
+        cam.fx, cam.fy, cam.bf / cam.fx,
+    )
     if sequential_sel:
         # paper semantics: greedy selection, covariance shrinks after
         # every accepted feature so selection self-limits.
@@ -678,10 +690,6 @@ def track_step(
         # sparse map starved through corners (three runs lost 2/51/65
         # frames on relay-timing luck alone). Top up to the floor by
         # initial-covariance score rank, exactly the batch-mode floor.
-        scores0 = info_ops.entropy_reduction_stereo(
-            cov_pred, xc_kp, sigma2, frame.sem_entropy,
-            cam.fx, cam.fy, cam.bf / cam.fx,
-        )
         rank0 = jnp.where(
             sel_mask, jnp.inf,
             jnp.where(candidate, scores0, -jnp.inf),
@@ -703,10 +711,7 @@ def track_step(
         # (collapsed by this frame's ~500 inliers) drives every MI
         # score below any threshold and creation starves (measured:
         # 163 points in 138 frames, 91 frames lost).
-        scores = info_ops.entropy_reduction_stereo(
-            cov_pred, xc_kp, sigma2, frame.sem_entropy,
-            cam.fx, cam.fy, cam.bf / cam.fx,
-        )
+        scores = scores0
         sel_mask = candidate & (scores > th_entropy)
         # supply floor (robustness beyond the reference): keep at least
         # `seq_min_select` of the BEST-scoring candidates so fast yaw
@@ -792,8 +797,21 @@ def track_step(
     )
     summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
     summary = summary.at[S_MOT_DEV].set(accel_dev)
+    n_cand = jnp.sum(candidate)
     summary = summary.at[S_SEL_CAP_BIND].set(
-        (jnp.sum(candidate) > info_ops.SEL_CAP).astype(jnp.float32)
+        (n_cand > info_ops.SEL_CAP).astype(jnp.float32)
+    )
+    summary = summary.at[S_N_CANDIDATES].set(
+        n_cand.astype(jnp.float32)
+    )
+    # truncation audit: the sequential walk compacts candidates in
+    # keypoint-index order into SEL_CAP slots — candidates past the
+    # cap are never scanned. Report the best static-covariance score
+    # among them so the cap's cost is measured, not shrugged at.
+    cand_rank = jnp.cumsum(candidate.astype(jnp.int32))
+    truncated = candidate & (cand_rank > info_ops.SEL_CAP)
+    summary = summary.at[S_SEL_TRUNC_BEST].set(
+        jnp.max(jnp.where(truncated, scores0, -jnp.inf))
     )
     summary = summary.at[S_ROT_DEV].set(rot_dev1)
     summary = summary.at[S_ROT_DEV_S1].set(rot_dev_s1)

@@ -369,6 +369,22 @@ class Tracker:
 
         if summary[ts.S_SEL_CAP_BIND] > 0.5:
             self.sel_cap_binds = getattr(self, "sel_cap_binds", 0) + 1
+            # truncation audit (round-3 weak #7): how many candidates
+            # the SEL_CAP walk never reached, and the best static-cov
+            # score among them — if that stays below the entropy gate,
+            # the cap truncates nothing of value.
+            over = int(summary[ts.S_N_CANDIDATES]) - info_ops.SEL_CAP
+            self.sel_trunc_cands = (
+                getattr(self, "sel_trunc_cands", 0) + max(over, 0)
+            )
+            best = float(summary[ts.S_SEL_TRUNC_BEST])
+            if np.isfinite(best):
+                self.sel_trunc_best = max(
+                    getattr(self, "sel_trunc_best", -np.inf), best
+                )
+                self.sel_trunc_best_sum = (
+                    getattr(self, "sel_trunc_best_sum", 0.0) + best
+                )
         if summary[ts.S_OK] < 0.5:
             # raw loss event (pre-relocalization): a later successful
             # reloc rewrites the trajectory record but not this counter

@@ -257,3 +257,28 @@ def test_gba_stepped_matches_chunked():
     )
     errs = pose_errors(np.asarray(stepped.kf_pose), gt_poses)
     assert errs.max() < 5e-3, errs
+
+
+def test_gba_pcg_matches_dense():
+    """The matrix-free PCG full-map solver (optim/gba_cg.py — the path
+    that lifts GBA to the System's 2048-KF capacity, no K^2 buffer)
+    must recover the same solution as the dense Schur solver."""
+    from sivo_tpu.optim import gba_cg
+
+    prob, gt_poses, gt_pts, _ = make_problem(noise=0.1)
+    dense = local_ba.global_bundle_adjustment(prob, CAM, iterations=8)
+    carry = gba_cg.gba_cg_begin(prob, CAM)
+    for _ in range(8):
+        carry = gba_cg.gba_cg_step(carry, prob, CAM)
+    pcg = gba_cg.gba_cg_finish(carry, prob, CAM)
+    errs_d = pose_errors(np.asarray(dense.kf_pose), gt_poses)
+    errs_p = pose_errors(np.asarray(pcg.kf_pose), gt_poses)
+    assert errs_d.max() < 5e-3, errs_d
+    assert errs_p.max() < 5e-3, errs_p
+    # inexact-Newton steps differ from exact Cholesky steps along the
+    # way; both must land on the same optimum
+    np.testing.assert_allclose(
+        np.asarray(pcg.kf_pose), np.asarray(dense.kf_pose), atol=2e-3
+    )
+    pt_err = np.linalg.norm(np.asarray(pcg.pt_pos) - gt_pts, axis=-1)
+    assert np.median(pt_err) < 0.05, np.median(pt_err)

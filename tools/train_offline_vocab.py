@@ -1,0 +1,160 @@
+"""Train an offline ORB vocabulary on imagery DISJOINT from the bench.
+
+Round-3 verdict #4: every measured run trained a ≤10^4-word session
+vocabulary on 8 frames of the bench sequence itself — methodologically
+circular (trained on the test data) and too weak to discriminate the
+self-similar corridor (55-58 Sim3 evaluations for one true loop). The
+reference instead ships a ~1M-word ORBvoc trained on unrelated imagery
+(ref: System.cc:75-82, TemplatedVocabulary.h:1338).
+
+This tool renders SEVERAL synthetic worlds with different texture
+seeds and geometry than the bench world (make_loop_world(seed=0,
+outer=16, inner=6) + square_loop_trajectory(half=9.5, corner_r=3.5)),
+extracts ORB descriptors through the real frontend, and trains a
+k=10 / depth=5 hierarchical k-medians tree (up to 10^5 words) —
+the DBoW2 recipe at reduced scale.
+
+Runs on CPU (no TPU needed; extraction is the same jitted frontend).
+Output: sivo_tpu/place/data/orbvoc_synth.npz (picked up by bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def collect_descriptors(frames_per_world: int) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from sivo_tpu.config import SystemConfig
+    from sivo_tpu.io import synthetic
+    from sivo_tpu.runtime import frame as frame_mod
+
+    cfg = SystemConfig()
+    statics = frame_mod.make_statics(cfg)
+    cam = cfg.camera
+
+    # Worlds deliberately distinct from the bench fixture (seed=0,
+    # outer=16/inner=6, half=9.5/corner_r=3.5): different texture
+    # seeds, ring geometry, and plain corridors.
+    specs = [
+        (
+            synthetic.make_loop_world(cam, seed=11, outer=14.0, inner=5.0),
+            synthetic.square_loop_trajectory(
+                frames_per_world, half=8.0, corner_r=3.0, seed=2
+            ),
+        ),
+        (
+            synthetic.make_loop_world(cam, seed=23, outer=19.0, inner=9.0),
+            synthetic.square_loop_trajectory(
+                frames_per_world, half=12.0, corner_r=4.0, seed=3
+            ),
+        ),
+        (
+            synthetic.make_loop_world(cam, seed=31, outer=16.5, inner=7.5),
+            synthetic.square_loop_trajectory(
+                frames_per_world, half=10.5, corner_r=2.5, seed=4
+            ),
+        ),
+        (
+            synthetic.make_world(cam, seed=37, length=200.0, half_width=8.0),
+            synthetic.forward_trajectory(
+                frames_per_world, speed=0.8, yaw_rate=0.004, seed=5
+            ),
+        ),
+        (
+            synthetic.make_world(cam, seed=53, length=160.0, half_width=11.0),
+            synthetic.forward_trajectory(
+                frames_per_world, speed=0.7, yaw_rate=-0.003, seed=6
+            ),
+        ),
+        (
+            synthetic.make_world(cam, seed=71, length=180.0, half_width=6.5),
+            synthetic.forward_trajectory(
+                frames_per_world, speed=0.9, yaw_rate=0.002, seed=7
+            ),
+        ),
+    ]
+
+    const_conf = jnp.full((cam.height, cam.width), 0.9, jnp.float32)
+    const_ent = jnp.full((cam.height, cam.width), 0.5, jnp.float32)
+    all_desc = []
+    for wi, (world, traj) in enumerate(specs):
+        t0 = time.time()
+        for fi, T in enumerate(traj):
+            left, cls = synthetic._render_view(world, T, False, ss=2)
+            right, _ = synthetic._render_view(world, T, True, ss=2)
+            f = frame_mod.build_frame_nosegnet(
+                statics,
+                jnp.asarray(left.astype(np.float32)),
+                jnp.asarray(right.astype(np.float32)),
+                jnp.asarray(cls.astype(np.uint8)),
+                const_conf,
+                const_ent,
+            )
+            sem = np.asarray(f.semantic)
+            all_desc.append(np.asarray(f.desc_u8)[sem])
+            if fi % 16 == 0:
+                print(
+                    f"# world {wi}: frame {fi}/{len(traj)} "
+                    f"({time.time() - t0:.0f}s, "
+                    f"{sum(len(d) for d in all_desc)} desc)",
+                    flush=True,
+                )
+    return np.concatenate(all_desc, axis=0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-per-world", type=int, default=56)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__),
+            "..",
+            "sivo_tpu",
+            "place",
+            "data",
+            "orbvoc_synth.npz",
+        ),
+    )
+    args = ap.parse_args()
+
+    from sivo_tpu.place import vocabulary as voc_mod
+
+    desc_cache = "/tmp/sivo_vocab_descriptors.npy"
+    if os.path.exists(desc_cache):
+        desc = np.load(desc_cache)
+        print(f"# loaded {len(desc)} cached descriptors", flush=True)
+    else:
+        desc = collect_descriptors(args.frames_per_world)
+        np.save(desc_cache, desc)
+        print(f"# collected {len(desc)} descriptors", flush=True)
+
+    t0 = time.time()
+    voc = voc_mod.train(desc, k=args.k, depth=args.depth, seed=0)
+    print(
+        f"# trained k={args.k} depth={args.depth}: {voc.n_words} words "
+        f"in {time.time() - t0:.0f}s",
+        flush=True,
+    )
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    voc_mod.save_npz(args.out, voc)
+    print(f"# wrote {os.path.abspath(args.out)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
