@@ -110,9 +110,9 @@ class LoopCloser:
 
     def _kf_point_ids(self, kf_idx: int) -> np.ndarray:
         out = np.full(self.map.kp_capacity, -1, np.int64)
-        obs = self.map.observations()
-        mine = obs[obs[:, 0] == kf_idx]
-        out[mine[:, 2]] = mine[:, 1]
+        mine = self.map.obs_by_kf(kf_idx)
+        if len(mine):
+            out[mine[:, 2]] = mine[:, 1]
         return out
 
     # -- pipeline ------------------------------------------------------------
@@ -940,6 +940,7 @@ class LoopCloser:
                 # rewrite is deferred to one replace_points_batch
                 merge_pairs.append((e_i, p_i))
                 m.pt_valid[e_i] = False
+                m._valid_epoch += 1
                 replaced[e_i] = p_i
         if merge_pairs:
             m.replace_points_batch(

@@ -91,6 +91,15 @@ class MapState:
         self._obs_n = 0
         self._obs_dirty = True
         self._obs_arr = np.zeros((0, 3), np.int64)
+        # liveness epoch: bumped by EVERY pt_valid/kf_valid mutation so
+        # the live-filtered observation view (and its by-keyframe sort)
+        # can be cached between mutations — at endurance scale the
+        # filter alone moves ~150k rows and ran dozens of times per
+        # keyframe event (round-4 endurance: map.advance 163 ms mean)
+        self._valid_epoch = 0
+        self._obs_live_token = None
+        self._obs_live = np.zeros((0, 3), np.int64)
+        self._obs_bykf = None  # (sorted rows, kf column) or None
 
     # -- observation-table internals ---------------------------------------
 
@@ -268,6 +277,7 @@ class MapState:
             drop = np.setdiff1d(kill_rows, rewrite, assume_unique=True)
             self._obs_alive[drop] = False
         self.pt_valid[kill] = False
+        self._valid_epoch += 1
         self.pt_found[keep] += self.pt_found[kill]
         self.pt_visible[keep] += self.pt_visible[kill]
         self._obs_dirty = True
@@ -315,6 +325,7 @@ class MapState:
         self._obs[:n, 1] = np.where(alive, pt_new, obs[:, 1])
         self._obs_alive[:n] = alive & ~(rewritten & ~winner)
         self.pt_valid[kills] = False
+        self._valid_epoch += 1
         np.add.at(self.pt_found, keeps, self.pt_found[kills])
         np.add.at(self.pt_visible, keeps, self.pt_visible[kills])
         self._obs_dirty = True
@@ -323,6 +334,7 @@ class MapState:
         """SetBadFlag (ref: MapPoint.cc:201-223) — lazily: observations
         of invalid points are filtered at query time."""
         self.pt_valid[pt_id] = False
+        self._valid_epoch += 1
 
     def set_point_class_or_kill(
         self, pt_ids: np.ndarray, classes: np.ndarray
@@ -332,22 +344,56 @@ class MapState:
         stored = self.pt_class[pt_ids]
         flip = (stored != 255) & (stored != classes)
         self.pt_valid[pt_ids[flip]] = False
+        if flip.any():
+            self._valid_epoch += 1
         fresh = stored == 255
         self.pt_class[pt_ids[fresh]] = classes[fresh]
 
     # -- derived ----------------------------------------------------------
 
     def observations(self) -> np.ndarray:
-        """(O, 3) int array (kf, pt, kp), filtered to live points/KFs."""
+        """(O, 3) int array (kf, pt, kp), filtered to live points/KFs.
+        Cached until the table or any liveness flag changes (mutators
+        bump ``_valid_epoch`` / set ``_obs_dirty``); callers must not
+        mutate the returned array."""
         if self._obs_dirty:
             n = self._obs_n
             self._obs_arr = self._obs[:n][self._obs_alive[:n]]
             self._obs_dirty = False
-        arr = self._obs_arr
-        if len(arr) == 0:
-            return arr
-        live = self.pt_valid[arr[:, 1]] & self.kf_valid[arr[:, 0]]
-        return arr[live]
+            self._obs_live_token = None
+        token = (
+            len(self._obs_arr), self._valid_epoch, self.n_keyframes
+        )
+        if token != self._obs_live_token:
+            arr = self._obs_arr
+            if len(arr):
+                live = (
+                    self.pt_valid[arr[:, 1]] & self.kf_valid[arr[:, 0]]
+                )
+                self._obs_live = arr[live]
+            else:
+                self._obs_live = arr
+            self._obs_live_token = token
+            self._obs_bykf = None
+        return self._obs_live
+
+    def obs_by_kf(self, kf_idx: int) -> np.ndarray:
+        """Live observation rows of one keyframe — a searchsorted slice
+        of a cached kf-sorted copy (the per-call ``obs[:, 0] == kf``
+        mask is O(n_obs) and ran ~15x per keyframe event)."""
+        obs = self.observations()
+        if self._obs_bykf is None:
+            order = np.argsort(obs[:, 0], kind="stable")
+            self._obs_bykf = (obs[order], obs[order, 0])
+        rows, kfcol = self._obs_bykf
+        lo = np.searchsorted(kfcol, kf_idx, side="left")
+        hi = np.searchsorted(kfcol, kf_idx, side="right")
+        return rows[lo:hi]
+
+    def mark_points_invalid(self, pt_ids) -> None:
+        """SetBadFlag over ids, keeping the observation cache honest."""
+        self.pt_valid[pt_ids] = False
+        self._valid_epoch += 1
 
     def point_obs_counts(self) -> np.ndarray:
         counts = np.zeros(self.max_points, np.int32)
@@ -368,14 +414,22 @@ class MapState:
         obs = self.observations()
         if len(obs) == 0:
             return counts
-        w = np.ones(len(obs), np.int32)
-        for k in np.unique(obs[:, 0]):
+        if self._obs_bykf is None:
+            order = np.argsort(obs[:, 0], kind="stable")
+            self._obs_bykf = (obs[order], obs[order, 0])
+        so, kfcol = self._obs_bykf
+        # contiguous per-KF runs of the cached kf-sorted view: O(n_obs)
+        # total (the per-KF full-table masks were O(K * n_obs) — 209 ms
+        # mean map.cull_points at endurance scale)
+        uk, starts = np.unique(kfcol, return_index=True)
+        ends = np.r_[starts[1:], len(so)]
+        w = np.ones(len(so), np.int32)
+        for k, s, e in zip(uk, starts, ends):
             d = self.kf_data[k]
             if d is None:
                 continue
-            sel = obs[:, 0] == k
-            w[sel] += (d.u_right[obs[sel, 2]] > 0).astype(np.int32)
-        np.add.at(counts, obs[:, 1], w)
+            w[s:e] += (d.u_right[so[s:e, 2]] > 0).astype(np.int32)
+        np.add.at(counts, so[:, 1], w)
         return counts
 
     def covisibility_matrix(self) -> "np.ndarray":
@@ -498,3 +552,4 @@ class MapState:
         self._obs_n = 0
         self._obs_alive[:] = False
         self._obs_dirty = True
+        self._valid_epoch += 1

@@ -488,6 +488,7 @@ class LocalMapper:
                 )
                 merge_pairs.append((kill, keep))
                 m.pt_valid[kill] = False  # visible to later pairs
+                m._valid_epoch += 1
                 replaced[kill] = keep
 
         for nb, src_for_dst in zip(neighbors, fetched):
@@ -522,9 +523,8 @@ class LocalMapper:
 
     def _kf_point_ids(self, kf_idx: int) -> np.ndarray:
         out = np.full(self.map.kp_capacity, -1, np.int64)
-        obs = self.map.observations()
-        if len(obs):
-            mine = obs[obs[:, 0] == kf_idx]
+        mine = self.map.obs_by_kf(kf_idx)
+        if len(mine):
             out[mine[:, 2]] = mine[:, 1]
         return out
 
@@ -715,11 +715,10 @@ class LocalMapper:
                 # keyframes holding loop edges are never erased
                 # (ref: KeyFrame.cc:459-476 SetErase/mspLoopEdges)
                 continue
-            mine_sel = obs[:, 0] == k
-            mine = obs[mine_sel]
+            mine = m.obs_by_kf(int(k))
             if len(mine) < 10:
                 continue
-            my_level = obs_level[mine_sel]
+            my_level = level_stack[mine[:, 0], mine[:, 2]]
             # for each of my points: # other obs with level <= mine+1
             hi = np.searchsorted(
                 key_all_sorted,
@@ -817,7 +816,7 @@ class LocalMapper:
                   f"obs={int((valid&in_list&obs_bad).sum())}) of n={n}")
         if len(kill_ids) == 0:
             return
-        m.pt_valid[kill_ids] = False
+        m.mark_points_invalid(kill_ids)
         # fixed upload shape to avoid per-length recompiles
         ids = np.full(4096, -1, np.int32)
         ids[: min(len(kill_ids), 4096)] = kill_ids[:4096]

@@ -229,17 +229,22 @@ def track_step(
     pt_idx_a, n_a = _match_motion(
         carry, dmap, frame, T_pred, cam, scales, motion_th
     )
-    # 3x widened retry (the reference widens 2x, Tracking.cc:740-745):
-    # turn-onset yaw steps and close-range looming put the true
-    # position ~15-25px from the constant-velocity prediction at KITTI
-    # focal lengths — outside 2x7px but inside 3x at base scale.
+    # 8x widened retry (the reference widens 2x, Tracking.cc:740-745):
+    # a corner ENTRY is an instantaneous ~4 deg/frame yaw step the
+    # constant-velocity prediction knows nothing about — at KITTI focal
+    # lengths that is ~51 px of flow (0.071 rad * 721 px), outside the
+    # round-3 3x window (21 px); the endurance run lost tracking at the
+    # first 1-5 frames of corners on nearly every lap (lap-phases
+    # 99-103/139-143, BENCH_endurance_r04). 8x (56 px at base scale)
+    # covers the step; alias risk is held by the pose-LM chi2 rounds,
+    # the accel/rotation sanity gates, and the anchor arbiter below.
     # Runs under lax.cond — the second [N, N] match costs ~5 ms of HBM
     # traffic and healthy frames never need it.
     use_wide = n_a < 20
     pt_idx_m, n_matches = jax.lax.cond(
         use_wide,
         lambda: _match_motion(
-            carry, dmap, frame, T_pred, cam, scales, 3.0 * motion_th
+            carry, dmap, frame, T_pred, cam, scales, 8.0 * motion_th
         ),
         lambda: (pt_idx_a, n_a),
     )
@@ -463,6 +468,12 @@ def track_step(
         (jnp.trace(carry.velocity[:3, :3]) - 1.0) * 0.5, -1.0, 1.0
     ))
     th_local = jnp.minimum(1.0 + 25.0 * rot_rate, 3.0)
+    # stage-1 failure widens the window to the reference's post-reloc
+    # 3.0 (Tracking.cc:795-800 "recently relocalized" semantics): at a
+    # corner ENTRY the carried velocity has no rotation yet, so the
+    # rotation-adaptive radius above stays at 1.0 exactly when the
+    # prediction is 4 deg off and the local map is the only rescue.
+    th_local = jnp.where(ok1, th_local, 3.0)
     mres = matching.search_by_projection_points(
         cand_bits,
         cand_visible,
@@ -798,21 +809,23 @@ def track_step(
     summary = summary.at[S_MOT_INL].set(res1.n_inliers.astype(jnp.float32))
     summary = summary.at[S_MOT_DEV].set(accel_dev)
     n_cand = jnp.sum(candidate)
-    summary = summary.at[S_SEL_CAP_BIND].set(
-        (n_cand > info_ops.SEL_CAP).astype(jnp.float32)
-    )
     summary = summary.at[S_N_CANDIDATES].set(
         n_cand.astype(jnp.float32)
     )
-    # truncation audit: the sequential walk compacts candidates in
-    # keypoint-index order into SEL_CAP slots — candidates past the
-    # cap are never scanned. Report the best static-covariance score
-    # among them so the cap's cost is measured, not shrugged at.
-    cand_rank = jnp.cumsum(candidate.astype(jnp.int32))
-    truncated = candidate & (cand_rank > info_ops.SEL_CAP)
-    summary = summary.at[S_SEL_TRUNC_BEST].set(
-        jnp.max(jnp.where(truncated, scores0, -jnp.inf))
-    )
+    if sequential_sel:
+        # truncation audit (SEQ mode only — batch selection scores ALL
+        # candidates, nothing truncates): the sequential walk compacts
+        # candidates in keypoint-index order into SEL_CAP slots; report
+        # the best static-covariance score among the unreached ones so
+        # the cap's cost is measured, not shrugged at.
+        summary = summary.at[S_SEL_CAP_BIND].set(
+            (n_cand > info_ops.SEL_CAP).astype(jnp.float32)
+        )
+        cand_rank = jnp.cumsum(candidate.astype(jnp.int32))
+        truncated = candidate & (cand_rank > info_ops.SEL_CAP)
+        summary = summary.at[S_SEL_TRUNC_BEST].set(
+            jnp.max(jnp.where(truncated, scores0, -jnp.inf))
+        )
     summary = summary.at[S_ROT_DEV].set(rot_dev1)
     summary = summary.at[S_ROT_DEV_S1].set(rot_dev_s1)
     summary = summary.at[S_N_SELECTED].set(

@@ -37,7 +37,7 @@ def make_cfg():
 @pytest.fixture(scope="module")
 def world_and_frames():
     world = synthetic.make_world(CAM, seed=0)
-    gt = synthetic.forward_trajectory(n_frames=10, speed=0.4)
+    gt = synthetic.forward_trajectory(n_frames=18, speed=0.4)
     left, right, _ = synthetic.render_sequence(world, gt)
     classes, conf, ent = synthetic.constant_semantics(
         CAM.height, CAM.width
@@ -110,3 +110,70 @@ def test_multi_sequence_runner(world_and_frames):
         s.flush()
         assert s.map.n_keyframes >= 1
         assert len(s.tracker.trajectory) == len(seqs[n])
+
+
+def test_kidnapped_robot_relocalization(world_and_frames):
+    """Kidnapped robot: after mapping a corridor, the tracker is fed an
+    image from far BEHIND its believed pose. Tracking must fail (LOST)
+    and the BoW relocalization path (coarse th=10 projection round +
+    narrow th=3 fine round when the coarse lands 15-49 inliers,
+    ref: Tracking.cc:1237-1396) must recover a pose near ground truth.
+    """
+    from sivo_tpu.place import vocabulary as voc_mod
+    from sivo_tpu.runtime.tracking import TrackingState
+    from sivo_tpu.utils.fetch import fetch_packed
+
+    cfg, gt, frames = world_and_frames
+    # vocabulary BEFORE tracking so every keyframe lands in the
+    # relocalization database (System.cc:75-85 loads the vocab first)
+    desc = []
+    for f in frames[:4]:
+        h = fetch_packed({"d": f.desc_u8, "s": f.semantic})
+        desc.append(np.asarray(h["d"])[np.asarray(h["s"])])
+    voc = voc_mod.train(np.concatenate(desc), k=8, depth=3, seed=0)
+
+    # fps=4 shortens the keyframe cadence (max_frames = fps,
+    # ref: Tracking.cc:883) so 18 corridor frames yield the >5
+    # keyframes relocalization needs (<=5 triggers the reference's
+    # full reset instead, Tracking.cc:417-425)
+    cfg = dataclasses.replace(
+        cfg, camera=dataclasses.replace(cfg.camera, fps=3.0)
+    )
+    system = System(cfg=cfg, max_keyframes=64, max_points=20000,
+                    vocabulary=voc)
+    for i in range(18):
+        system.track_frame(frames[i], i * 0.1)
+    system.flush()
+    assert system.map.n_keyframes > 5  # else reloc resets instead
+
+    # kidnap: teleport the believed pose ~4 m ahead of the mapped
+    # corridor stretch, then replay frame 2's image. The first failed
+    # frame is recorded lost (the reference relocalizes only frames
+    # that ENTER Track() already lost, Tracking.cc:271-272); the
+    # second triggers relocalization.
+    bogus = gt[17].copy()
+    bogus[2, 3] += 4.0
+    system.tracker.carry = system.tracker.carry._replace(
+        pose=jnp.asarray(bogus.astype(np.float32)),
+        has_velocity=jnp.asarray(False),
+        # sever frame-to-frame continuity too: without this the
+        # prediction-free reference-KF anchor recovers the pose at
+        # TRACKING rate (by design) and the BoW reloc path never runs
+        pt_idx=jnp.full_like(system.tracker.carry.pt_idx, -1),
+    )
+    system.tracker.last_pose = bogus.astype(np.float32)
+    system.tracker._ref_pt_idx = jnp.full_like(
+        system.tracker._ref_pt_idx, -1
+    )
+    system.tracker._local_ids_dev = jnp.full_like(
+        system.tracker._local_ids_dev, -1
+    )
+    p1 = system.track_frame(frames[2], 1.0)
+    assert p1 is None and system.tracker.state == TrackingState.LOST
+    p2 = system.track_frame(frames[2], 1.1)
+    assert p2 is not None, "relocalization failed"
+    c_est = -p2[:3, :3].T @ p2[:3, 3]
+    T = gt[2]
+    c_gt = -T[:3, :3].T @ T[:3, 3]
+    assert np.linalg.norm(c_est - c_gt) < 0.5, (c_est, c_gt)
+    assert system.reloc_successes >= 1

@@ -14,7 +14,9 @@ extracts ORB descriptors through the real frontend, and trains a
 k=10 / depth=5 hierarchical k-medians tree (up to 10^5 words) —
 the DBoW2 recipe at reduced scale.
 
-Runs on CPU (no TPU needed; extraction is the same jitted frontend).
+Extraction runs on whatever accelerator jax finds (the TPU does a
+frame in ~35 ms vs ~17 s on this host's single CPU core); pass
+--cpu to force the CPU path. k-medians training is host-side numpy.
 Output: sivo_tpu/place/data/orbvoc_synth.npz (picked up by bench.py).
 """
 
@@ -29,7 +31,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -117,6 +120,7 @@ def collect_descriptors(frames_per_world: int) -> np.ndarray:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames-per-world", type=int, default=56)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--depth", type=int, default=5)
