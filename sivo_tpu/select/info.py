@@ -26,6 +26,14 @@ _LOG2E = 1.4426950408889634  # log2(e)
 # this many statically-eligible keypoints (index order). Real frames
 # offer a few hundred untracked semantic stereo candidates; the scan's
 # per-step overhead makes a full 2048-slot walk ~10x the useful work.
+# Measured (round-4 verdict #7, BENCH_seq_r04): the cap binds on
+# 248/190+replay frames, truncating ~61k candidate evaluations whose
+# best STATIC-covariance score is 11.5-12.8 bits — but that is an
+# upper bound the greedy walk never sees: the covariance shrink
+# collapses scores after a few dozen accepts (walk self-limits well
+# before slot 512), and the supply floor ranks over ALL candidates
+# uncapped (track_step.py rank0), so truncation costs only walk
+# diversity. Decision: keep 512.
 SEL_CAP = 512
 
 
