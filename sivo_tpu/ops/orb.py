@@ -266,8 +266,20 @@ def extract(
     xy_level, level, score, valid = select_keypoints(
         score_map, spec, budgets, max_keypoints
     )
-    angle = compute_orientations(raw_canvas, level, xy_level)
-    bits, packed = compute_descriptors(blur_canvas, level, xy_level, angle)
+    from sivo_tpu.ops import pallas_orb
+
+    if max_keypoints % pallas_orb.BK == 0 and pallas_orb.use_pallas():
+        # fused DMA-pipelined orientation + descriptors (the XLA
+        # gathers below are latency-bound: ~15 ms of the 28 ms
+        # per-image frontend; see ops/pallas_orb.py)
+        angle, bits, packed = pallas_orb.orient_and_describe(
+            raw_canvas, blur_canvas, level, xy_level
+        )
+    else:
+        angle = compute_orientations(raw_canvas, level, xy_level)
+        bits, packed = compute_descriptors(
+            blur_canvas, level, xy_level, angle
+        )
     scales = jnp.asarray(spec.scales, jnp.float32)
     xy0 = xy_level * scales[level][:, None]
     zero = jnp.zeros_like(score)
