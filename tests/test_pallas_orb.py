@@ -19,8 +19,15 @@ from sivo_tpu.ops.image import BORDER
 def test_pallas_orb_matches_xla():
     rng = np.random.default_rng(0)
     L, H, W = 3, 96, 160  # small canvas (already includes BORDER)
-    raw = jnp.asarray(rng.uniform(0, 255, (L, H, W)).astype(np.float32))
-    blur = jnp.asarray(rng.uniform(0, 255, (L, H, W)).astype(np.float32))
+    # integer-valued canvases: the kernel rounds to uint8 internally
+    # (OpenCV parity — the reference reads 8U images), so exact parity
+    # with the float XLA path needs both to see the same intensities
+    raw = jnp.asarray(
+        rng.integers(0, 255, (L, H, W)).astype(np.float32)
+    )
+    blur = jnp.asarray(
+        rng.integers(0, 255, (L, H, W)).astype(np.float32)
+    )
 
     n = 4 * pallas_orb.BK
     m = pallas_orb.BRIEF_MARGIN
