@@ -338,6 +338,268 @@ def square_loop_trajectory(
     return np.stack(poses)
 
 
+def _figure8_plan(
+    half: float = 9.5,
+    corner_r: float = 3.5,
+    sep: float = 28.0,
+    v_straight: float = 0.667,
+    v_corner: float = 0.25,
+) -> list[tuple[float, float]]:
+    """Per-frame (speed, yaw increment) plan for ONE figure-8 super-lap
+    of the dumbbell world: ring-1 left straight, the long top corridor
+    into ring 2, one full ring-2 lap (its top-straight re-drive is the
+    first revisit), then the long bottom corridor back to ring 1's
+    start (the second revisit). All 8 corners turn +90 deg, so heading
+    cycles twice and chord-quantization errors cancel over the lap —
+    the plan is EXACTLY periodic (endurance laps reuse one lap's
+    renders)."""
+    seg = 2.0 * (half - corner_r)
+    long = sep + seg  # top/bottom corridors span both rings
+    arc = 0.5 * np.pi * corner_r
+    lengths = [seg, long, seg, seg, seg, seg, seg, long]
+    plan: list[tuple[float, float]] = []
+    for L in lengths:
+        n_s = max(int(round(L / v_straight)), 1)
+        plan += [(L / n_s, 0.0)] * n_s
+        n_c = max(int(round(arc / v_corner)), 1)
+        plan += [(arc / n_c, 0.5 * np.pi / n_c)] * n_c
+    return plan
+
+
+def _execute_plan(
+    plan: list[tuple[float, float]],
+    n_frames: int,
+    start_pos: np.ndarray,
+    start_yaw: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Integrate a (speed, dyaw) plan (tiled to n_frames) with the
+    mid-step heading rule of square_loop_trajectory. Returns
+    (poses_cw (F,4,4), positions (F,3))."""
+    pos = np.asarray(start_pos, np.float64).copy()
+    yaw = float(start_yaw)
+    poses, centers = [], []
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = pos
+        poses.append(np.linalg.inv(Twc).astype(np.float32))
+        centers.append(pos.copy())
+        v, dyaw = plan[i % len(plan)]
+        yaw += 0.5 * dyaw
+        pos = pos + v * np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+        yaw += 0.5 * dyaw
+    return np.stack(poses), np.stack(centers)
+
+
+def figure8_lap_frames(**kw) -> int:
+    """Frames in one figure-8 super-lap (the endurance period)."""
+    return len(_figure8_plan(**kw))
+
+
+def figure8_trajectory(
+    n_frames: int,
+    half: float = 9.5,
+    corner_r: float = 3.5,
+    sep: float = 28.0,
+) -> np.ndarray:
+    """(F, 4, 4) Tcw figure-8 drive of the dumbbell world (exactly
+    periodic, no jitter — endurance laps reuse one lap's renders).
+    Starts at ring 1's left straight heading +z."""
+    plan = _figure8_plan(half=half, corner_r=corner_r, sep=sep)
+    start = np.array([-half, 0.0, -(half - corner_r)])
+    poses, _ = _execute_plan(plan, n_frames, start)
+    return poses
+
+
+def make_dumbbell_world(
+    cam: CameraConfig,
+    seed: int = 0,
+    outer: float = 16.0,
+    block: float = 6.0,
+    sep: float = 28.0,
+    half: float = 9.5,
+    corner_r: float = 3.5,
+    ground_y: float = 1.6,
+    wall_height: float = 6.0,
+    texel_per_m: int = 16,
+) -> SyntheticWorld:
+    """TWO square blocks inside one outer rectangle — the multi-loop
+    endurance fixture. The figure-8 drive (figure8_trajectory) produces
+    two DISTINCT genuine place-recognition events per exploration pass
+    (ring 2's top-straight re-drive, then the return to ring 1's
+    start), unlike the single-ring world whose one closure makes the
+    whole map covisible. Geometry mirrors make_loop_world: walls face
+    the corridors, pillars break the planar-wall pitch/translation
+    ambiguity, corner pockets pin y/scale through the turns. Long
+    outer walls are SPLIT into <=12 m segments so the renderer's
+    center-depth painter sort stays a valid occlusion order."""
+    rng = np.random.default_rng(seed)
+
+    def tex(a_m, b_m):
+        return _make_texture(
+            rng, int(b_m * texel_per_m), int(a_m * texel_per_m)
+        )
+
+    def wall(x0, z0, x1, z1):
+        p0 = np.array([x0, ground_y, z0])
+        e1 = np.array([x1 - x0, 0.0, z1 - z0])
+        ln = float(np.linalg.norm(e1))
+        return Plane(
+            p0=p0,
+            e1=e1,
+            e2=np.array([0.0, -wall_height, 0.0]),
+            texture=tex(ln, wall_height),
+            sem_class=2,  # BUILDING
+        )
+
+    def wall_split(x0, z0, x1, z1, seg_len=12.0):
+        """Long walls in <=seg_len pieces (painter-sort correctness)."""
+        ln = float(np.hypot(x1 - x0, z1 - z0))
+        n = max(int(np.ceil(ln / seg_len)), 1)
+        out = []
+        for i in range(n):
+            a, b = i / n, (i + 1) / n
+            out.append(wall(
+                x0 + a * (x1 - x0), z0 + a * (z1 - z0),
+                x0 + b * (x1 - x0), z0 + b * (z1 - z0),
+            ))
+        return out
+
+    A, B, D = outer, block, sep
+    xmin, xmax, zmin, zmax = -A, D + A, -A, A
+    planes = [
+        Plane(  # ground (ROAD)
+            p0=np.array([xmin, ground_y, zmin]),
+            e1=np.array([xmax - xmin, 0.0, 0.0]),
+            e2=np.array([0.0, 0.0, zmax - zmin]),
+            texture=tex(xmax - xmin, zmax - zmin),
+            sem_class=0,
+        ),
+    ]
+    # outer rectangle (inward-facing), split into segments
+    planes += wall_split(xmin, zmin, xmax, zmin)
+    planes += wall_split(xmax, zmin, xmax, zmax)
+    planes += wall_split(xmax, zmax, xmin, zmax)
+    planes += wall_split(xmin, zmax, xmin, zmin)
+    # the two blocks
+    for cx in (0.0, D):
+        planes.append(wall(cx - B, -B, cx + B, -B))
+        planes.append(wall(cx + B, -B, cx + B, B))
+        planes.append(wall(cx + B, B, cx - B, B))
+        planes.append(wall(cx - B, B, cx - B, -B))
+
+    # the drive path as a polyline (ACTUAL integrated positions, so
+    # clearance checks see the path the bench drives, chord errors and
+    # all)
+    plan = _figure8_plan(half=half, corner_r=corner_r, sep=sep)
+    _, path = _execute_plan(
+        plan, len(plan), np.array([-half, 0.0, -(half - corner_r)])
+    )
+    pxz = path[:, [0, 2]]
+
+    def clearance(x, z):
+        return float(
+            np.min(np.hypot(pxz[:, 0] - x, pxz[:, 1] - z))
+        )
+
+    def pillar(x, z, face_toward, width, height):
+        ux, uz = face_toward
+        n = np.hypot(ux, uz) + 1e-9
+        ex, ez = -uz / n, ux / n
+        p0 = np.array([x - 0.5 * width * ex, ground_y,
+                       z - 0.5 * width * ez])
+        return Plane(
+            p0=p0,
+            e1=np.array([width * ex, 0.0, width * ez]),
+            e2=np.array([0.0, -height, 0.0]),
+            texture=tex(width, height),
+            sem_class=2,
+        )
+
+    def face_to_path(x, z):
+        i = int(np.argmin(np.hypot(pxz[:, 0] - x, pxz[:, 1] - z)))
+        fx, fz = pxz[i, 0] - x, pxz[i, 1] - z
+        n = np.hypot(fx, fz) + 1e-9
+        return (fx / n, fz / n)
+
+    def scatter_along(x0, z0, x1, z1, inward, spacing=3.0):
+        """Pillars offset off a wall into its corridor; keep only
+        those the path actually passes (1.5 m < clearance < 6 m)."""
+        ln = float(np.hypot(x1 - x0, z1 - z0))
+        ux, uz = (x1 - x0) / ln, (z1 - z0) / ln
+        nx, nz = inward
+        d = rng.uniform(0.2, 0.8) * spacing
+        while d < ln:
+            off = rng.uniform(0.4, 1.2)
+            x = x0 + d * ux + off * nx
+            z = z0 + d * uz + off * nz
+            d += spacing * rng.uniform(0.8, 1.3)
+            if not (1.5 < clearance(x, z) < 6.0):
+                continue
+            planes.append(pillar(
+                x, z, face_to_path(x, z),
+                width=float(rng.uniform(0.5, 1.4)),
+                height=float(rng.uniform(2.0, 4.5)),
+            ))
+
+    # outer walls (inward normals) and block walls (outward normals)
+    scatter_along(xmin, zmin, xmax, zmin, (0, 1))
+    scatter_along(xmax, zmin, xmax, zmax, (-1, 0))
+    scatter_along(xmax, zmax, xmin, zmax, (0, -1))
+    scatter_along(xmin, zmax, xmin, zmin, (1, 0))
+    for cx in (0.0, D):
+        scatter_along(cx - B, -B, cx + B, -B, (0, -1), spacing=2.5)
+        scatter_along(cx + B, -B, cx + B, B, (1, 0), spacing=2.5)
+        scatter_along(cx + B, B, cx - B, B, (0, 1), spacing=2.5)
+        scatter_along(cx - B, B, cx - B, -B, (-1, 0), spacing=2.5)
+
+    # corner pockets: off-plane structure in the approach FOV of every
+    # arc (same role as make_loop_world's pocket pillars — pins y/scale
+    # through the turns). Pockets sit OUTSIDE each turn: the turn
+    # center is right of heading (+90 deg turns), so probe leftward.
+    # midpoints of consecutive arc runs
+    arc_mids = []
+    run = []
+    for i, (v, dy) in enumerate(plan):
+        if dy != 0.0:
+            run.append(i)
+        elif run:
+            arc_mids.append(run[len(run) // 2])
+            run = []
+    if run:
+        arc_mids.append(run[len(run) // 2])
+    for i in arc_mids:
+        p = path[i]
+        nxt = path[min(i + 1, len(path) - 1)]
+        hx, hz = nxt[0] - p[0], nxt[2] - p[2]
+        hn = np.hypot(hx, hz) + 1e-9
+        hx, hz = hx / hn, hz / hn
+        lx, lz = hz, -hx  # left of heading (outside the turn)
+        for r0, e0 in ((2.4, 0.0), (3.4, 1.6), (4.6, -1.2), (5.6, 2.4)):
+            r = r0 + rng.uniform(-0.3, 0.3)
+            e = e0 + rng.uniform(-0.5, 0.5)
+            x = p[0] + r * lx + e * hx
+            z = p[2] + r * lz + e * hz
+            if clearance(x, z) < 1.8:
+                continue
+            if not (xmin + 0.5 < x < xmax - 0.5):
+                continue
+            if not (zmin + 0.5 < z < zmax - 0.5):
+                continue
+            if (abs(x - 0.0) < B + 0.3 and abs(z) < B + 0.3) or (
+                abs(x - D) < B + 0.3 and abs(z) < B + 0.3
+            ):
+                continue  # inside a block
+            planes.append(pillar(
+                x, z, (-lx, -lz),
+                width=float(rng.uniform(0.8, 1.6)),
+                height=float(rng.uniform(2.5, 5.0)),
+            ))
+    return SyntheticWorld(cam=cam, planes=planes)
+
+
 def loop_trajectory(
     n_frames: int,
     radius: float = 9.5,

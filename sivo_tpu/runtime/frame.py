@@ -105,7 +105,9 @@ def _extract_keypoints(
     return kps, blur
 
 
-@functools.partial(jax.jit, static_argnames=("model", "statics"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "statics", "use_cnn_static")
+)
 def build_frame(
     model: segnet_mod.SegNet,
     params: Any,
@@ -115,14 +117,19 @@ def build_frame(
     rng: jnp.ndarray,
     sem_override: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
     | None = None,
+    use_cnn_static: bool | None = None,
 ) -> Frame:
     """The per-frame hot path (ref call stack: SURVEY §3.2).
 
     ``sem_override``: optional (classes, confidence, entropy, use_cnn)
-    — when ``use_cnn`` (a traced bool) is False the provided rasters
-    replace the CNN posterior at runtime while the CNN still executes
-    (benchmarking with ground-truth semantics when no trained weights
-    exist; the select is data-dependent so XLA cannot DCE the network).
+    — the provided rasters replace the CNN posterior when use_cnn is
+    False (benchmarking with renderer semantics when no trained
+    weights exist). ``use_cnn_static``: when the choice is fixed for
+    the whole run, pass it HERE (static) — False drops the CNN from
+    the compiled program entirely (measured: 69.3 -> ~42 ms of
+    per-frame device time, three discarded MC-dropout passes were
+    running just to feed a jnp.where); None keeps the traced
+    ``sem_override[3]`` runtime select.
     """
     # accept uint8 uploads (4x less host->device traffic; the link is
     # the bottleneck) and promote on device; a (H, W) left image is
@@ -134,10 +141,14 @@ def build_frame(
             img_left_color[:, :, None], 3, axis=-1
         )
     img_right_gray = img_right_gray.astype(jnp.float32)
-    # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
-    classes, confidence, entropy = segnet_mod.segment_image(
-        model, params, img_left_color, rng, statics.mc_samples
+    static_no_cnn = (
+        sem_override is not None and use_cnn_static is False
     )
+    # 1. Bayesian SegNet MC-dropout semantics (ref: Frame.cc:232-245)
+    if not static_no_cnn:
+        classes, confidence, entropy = segnet_mod.segment_image(
+            model, params, img_left_color, rng, statics.mc_samples
+        )
     if sem_override is not None:
         o_cls, o_conf, o_ent, use_cnn = sem_override
         # quantized uploads welcome: confidence as uint8 (x1/255),
@@ -148,11 +159,20 @@ def build_frame(
             o_conf = o_conf.astype(jnp.float32) * (1.0 / 255.0)
         if o_ent.dtype == jnp.uint8:
             o_ent = o_ent.astype(jnp.float32) * (1.0 / 32.0)
-        classes = jnp.where(use_cnn, classes, o_cls)
-        confidence = jnp.where(
-            use_cnn, confidence, o_conf.astype(jnp.float32)
-        )
-        entropy = jnp.where(use_cnn, entropy, o_ent.astype(jnp.float32))
+        if static_no_cnn:
+            classes = o_cls
+            confidence = o_conf.astype(jnp.float32)
+            entropy = o_ent.astype(jnp.float32)
+        elif use_cnn_static:  # static True: CNN only
+            pass
+        else:
+            classes = jnp.where(use_cnn, classes, o_cls)
+            confidence = jnp.where(
+                use_cnn, confidence, o_conf.astype(jnp.float32)
+            )
+            entropy = jnp.where(
+                use_cnn, entropy, o_ent.astype(jnp.float32)
+            )
 
     # 2. ORB on both images (ref: Frame.cc:126-129, two CPU threads)
     gray_l = image_ops.bgr_to_gray(img_left_color)

@@ -34,6 +34,67 @@ from sivo_tpu.place import vocabulary as voc_mod
 from sivo_tpu.runtime import device_map
 from sivo_tpu.runtime.map_state import MapState
 
+import functools
+
+
+# -- fused Sim3-stage device programs ----------------------------------------
+#
+# matching.search_brute_force / search_by_sim3 are plain (unjitted)
+# functions: called eagerly, EVERY jnp op inside runs as its own relay
+# dispatch with zero XLA fusion — measured as 240-720 ms per lc.sim3
+# stage (~9+ eager programs each paying relay queueing). Each stage
+# below is ONE compiled program: keyframe-store gathers, bit unpack,
+# matching, and output packing all fuse. ij ships as a (2,) int32
+# array (python ints would bake into the compilation).
+
+@jax.jit
+def _bf_program(store, ij, has12):
+    """Brute-force loop-candidate matching from the device KF store
+    (ref: LoopClosing.cc:249 SearchByBoW)."""
+    bits1 = device_map.unpack_bits(store.desc_u8[ij[0]])
+    bits2 = device_map.unpack_bits(store.desc_u8[ij[1]])
+    m = matching.search_brute_force(
+        bits1, has12[0], store.angle[ij[0]],
+        bits2, has12[1], store.angle[ij[1]],
+        nn_ratio=0.75,  # ref: LoopClosing.cc:249
+    )
+    return m.dst_for_src
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _ransac_program(pk, key, cam):
+    """Sim3 RANSAC over the packed correspondence rows; returns the
+    scalar summary as ONE flat f32 vector ([n, s, t(3), R(9)]) plus the
+    on-device g12 for the guided stage (ref: LoopClosing.cc:262-340)."""
+    res = sim3_opt.ransac_sim3(
+        pk[:, 0:3], pk[:, 3:6], pk[:, 6:8], pk[:, 8:10],
+        pk[:, 10], pk[:, 11], pk[:, 12] > 0.5,
+        key, cam, fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
+    )
+    g = res.g12
+    flat = jnp.concatenate([
+        res.n_inliers.reshape(1).astype(jnp.float32),
+        g.s.reshape(1), g.t.reshape(3), g.R.reshape(9),
+    ])
+    return flat, g
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def _guided_program(store, ij, s, R, t, pkd, scales, cam):
+    """Guided SearchBySim3 from the device KF store
+    (ref: LoopClosing.cc:340-366, ORBmatcher.cc:1055-1276)."""
+    bits1 = device_map.unpack_bits(store.desc_u8[ij[0]])
+    bits2 = device_map.unpack_bits(store.desc_u8[ij[1]])
+    return matching.search_by_sim3(
+        s, R, t,
+        pkd[0, :, :3], pkd[0, :, 3] > 0.5,
+        store.xy[ij[0]], store.level[ij[0]], bits1,
+        pkd[1, :, :3], pkd[1, :, 3] > 0.5,
+        store.xy[ij[1]], store.level[ij[1]], bits2,
+        scales,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+
 
 @dataclass
 class LoopCloser:
@@ -292,6 +353,13 @@ class LoopCloser:
                 self.loops_closed += 1
                 self.last_loop_kf = kf_idx
                 self._sim3q.pop(0)
+                if not block:
+                    # the correction just flooded the relay (essential
+                    # graph + fuse + GBA-problem uploads); dispatching
+                    # the next attempt's upload NOW queues it behind
+                    # that burst and blocks the frame loop (measured:
+                    # one 12.4 s lc.sim3 sample right after a closure)
+                    return
 
     def on_keyframe_culled(self, kf_idx: int) -> None:
         """Keep the inverted file coherent with keyframe culling
@@ -402,38 +470,33 @@ class LoopCloser:
     def _sim3_dispatch_bf(self, tracker, a: dict) -> None:
         """Stage 1: brute-force descriptor matching between the two
         keyframes (ref: LoopClosing.cc:249 SearchByBoW)."""
-        from sivo_tpu.utils.fetch import fetch_packed_async
+        from sivo_tpu.utils.fetch import device_get_async
 
         kf_idx, cand = a["kf"], a["cand"]
         a["pts1"] = self._kf_point_ids(kf_idx)
         a["pts2"] = self._kf_point_ids(cand)
-        # angles ride the device keyframe store (one slot gather) —
-        # host uploads here would queue on the shared relay; the two
-        # has-map-point masks ship as ONE packed upload
-        has12 = jnp.asarray(
-            np.stack([a["pts1"] >= 0, a["pts2"] >= 0])
-        )
-        m = matching.search_brute_force(
-            self._kf_bits(kf_idx, tracker),
-            has12[0],
-            tracker.kf_store.angle[kf_idx],
-            self._kf_bits(cand, tracker),
-            has12[1],
-            tracker.kf_store.angle[cand],
-            nn_ratio=0.75,  # ref: LoopClosing.cc:249
-        )
-        a["fut"] = fetch_packed_async({"dst": m.dst_for_src})
+        # descriptors/angles ride the device keyframe store; the two
+        # has-map-point masks ship as ONE packed upload and the whole
+        # stage is ONE fused program (_bf_program)
+        with self._stage("lc.sim3.upload"):
+            has12 = jnp.asarray(
+                np.stack([a["pts1"] >= 0, a["pts2"] >= 0])
+            )
+            a["ij"] = jnp.asarray(
+                np.array([kf_idx, cand], np.int32)
+            )
+        dst = _bf_program(tracker.kf_store, a["ij"], has12)
+        a["fut"] = device_get_async(dst)
 
     def _sim3_after_bf(self, tracker, a: dict) -> bool:
         """Stage 2: gate on match count, dispatch Sim3 RANSAC
         (ref: LoopClosing.cc:262-340)."""
-        from sivo_tpu.utils.fetch import fetch_packed_async
 
         kf_idx, cand = a["kf"], a["cand"]
         pts1, pts2 = a["pts1"], a["pts2"]
         d1 = self.map.kf_data[kf_idx]
         d2 = self.map.kf_data[cand]
-        dst = a["fut"].result()["dst"].astype(np.int32)
+        dst = a["fut"].result().astype(np.int32)
         pairs = [
             (i, int(j)) for i, j in enumerate(dst)
             if j >= 0 and pts1[i] >= 0 and pts2[j] >= 0
@@ -477,38 +540,23 @@ class LoopCloser:
         packed[:, 11] = (1.0 - valid)
         packed[:n, 11] += sf ** (2.0 * d2.level[idx2])
         packed[:, 12] = valid
-        pk = jnp.asarray(packed)
-        res = sim3_opt.ransac_sim3(
-            pk[:, 0:3],
-            pk[:, 3:6],
-            pk[:, 6:8],
-            pk[:, 8:10],
-            pk[:, 10],
-            pk[:, 11],
-            pk[:, 12] > 0.5,
-            jax.random.key(kf_idx),
-            self.cam,
-            fix_scale=True,  # stereo (ref: Sim3Solver mbFixScale)
+        from sivo_tpu.utils.fetch import device_get_async
+
+        with self._stage("lc.sim3.upload"):
+            pk = jnp.asarray(packed)
+        flat, g12 = _ransac_program(
+            pk, jax.random.key(kf_idx), self.cam
         )
-        a["res_g12"] = res.g12
-        a["fut"] = fetch_packed_async(
-            {
-                "n": res.n_inliers,
-                "s": res.g12.s,
-                "R": res.g12.R,
-                "t": res.g12.t,
-            }
-        )
+        a["res_g12"] = g12
+        a["fut"] = device_get_async(flat)
         return True
 
     def _sim3_after_ransac(self, tracker, a: dict) -> bool:
         """Stage 3: gate on RANSAC inliers, dispatch the guided
         SearchBySim3 (ref: LoopClosing.cc:340-366)."""
-        from sivo_tpu.utils.fetch import fetch_packed_async
-
         kf_idx, cand = a["kf"], a["cand"]
-        out = a["fut"].result()
-        n_inl = int(out["n"])
+        out = a["fut"].result()  # flat [n, s, t(3), R(9)]
+        n_inl = int(out[0])
         if _DEBUG_LOOP:
             print(
                 f"[sim3 kf={kf_idx} cand={cand}] ransac_inliers="
@@ -518,9 +566,9 @@ class LoopCloser:
             return False
         a["n_inl"] = n_inl
         a["g12_host"] = (
-            float(out["s"]),
-            out["R"].astype(np.float64),
-            out["t"].astype(np.float64),
+            float(out[1]),
+            out[5:14].reshape(3, 3).astype(np.float64),
+            out[2:5].astype(np.float64),
         )
         pts1, pts2 = a["pts1"], a["pts2"]
         T1 = self.map.kf_pose[kf_idx].astype(np.float64)
@@ -549,26 +597,22 @@ class LoopCloser:
         pk[0, :, 3] = has1
         pk[1, :, :3] = pc2_all
         pk[1, :, 3] = has2
-        pkd = jnp.asarray(pk)
-        m12 = matching.search_by_sim3(
-            g12.s, g12.R, g12.t,
-            pkd[0, :, :3], pkd[0, :, 3] > 0.5,
-            tracker.kf_store.xy[kf_idx], tracker.kf_store.level[kf_idx],
-            self._kf_bits(kf_idx, tracker),
-            pkd[1, :, :3], pkd[1, :, 3] > 0.5,
-            tracker.kf_store.xy[cand], tracker.kf_store.level[cand],
-            self._kf_bits(cand, tracker),
-            scales,
-            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+        from sivo_tpu.utils.fetch import device_get_async
+
+        with self._stage("lc.sim3.upload"):
+            pkd = jnp.asarray(pk)
+        m12 = _guided_program(
+            tracker.kf_store, a["ij"], g12.s, g12.R, g12.t,
+            pkd, scales, self.cam,
         )
-        a["fut"] = fetch_packed_async({"m12": m12})
+        a["fut"] = device_get_async(m12)
         return True
 
     def _sim3_after_guided(self, a: dict):
         """Stage 4: the >= 40 total-match accept gate
         (ref: LoopClosing.cc:393). Returns the host (s, R, t) or None."""
         kf_idx, cand = a["kf"], a["cand"]
-        m12_np = a["fut"].result()["m12"].astype(np.int32)
+        m12_np = a["fut"].result().astype(np.int32)
         n_total = int((m12_np >= 0).sum())
         if _DEBUG_LOOP:
             print(

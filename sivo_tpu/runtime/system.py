@@ -28,6 +28,25 @@ from sivo_tpu.runtime.mapping import LocalMapper
 from sivo_tpu.runtime.tracking import Tracker, TrackingState
 
 
+@jax.jit
+def _reloc_bf_program(store, i, has_i, desc_bits, sem, angle):
+    """Fused relocalization brute-force match: candidate-KF descriptors
+    gathered from the device store vs the lost frame's
+    (ref: Tracking.cc:1255 SearchByBoW). One program — the previous
+    eager matching call ran ~9 separate relay dispatches per candidate
+    on the LOST path, exactly where latency hurts most."""
+    from sivo_tpu.ops import matching
+    from sivo_tpu.runtime import device_map
+
+    bits_i = device_map.unpack_bits(store.desc_u8[i])
+    m = matching.search_brute_force(
+        bits_i, has_i, store.angle[i],
+        desc_bits, sem, angle,
+        nn_ratio=0.75,  # ref: Tracking.cc:1255
+    )
+    return m.src_for_dst
+
+
 @dataclass
 class System:
     cfg: SystemConfig
@@ -436,7 +455,6 @@ class System:
         dbg = os.environ.get("SIVO_DEBUG_RELOC")
 
         import jax.numpy as jnp
-        from sivo_tpu.ops import matching as match_mod
         from sivo_tpu.place import pnp as pnp_mod
         from sivo_tpu.place import vocabulary as voc_mod
         from sivo_tpu.optim import pose_lm
@@ -456,14 +474,12 @@ class System:
         for cand in cands[:5]:
             d = self.map.kf_data[cand]
             pts = lc._kf_point_ids(cand)
-            m = match_mod.search_brute_force(
-                lc._kf_bits(cand, self.tracker),
+            src = np.asarray(jax.device_get(_reloc_bf_program(
+                self.tracker.kf_store,
+                jnp.int32(cand),
                 jnp.asarray(pts >= 0),
-                self.tracker.kf_store.angle[cand],
                 f.desc_bits, f.semantic, f.angle,
-                nn_ratio=0.75,  # ref: Tracking.cc:1255
-            )
-            src = np.asarray(jax.device_get(m.src_for_dst))
+            )))
             hit = src >= 0
             if dbg:
                 print(
