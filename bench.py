@@ -23,6 +23,23 @@ import json
 import time
 
 import jax
+
+# Persistent compilation cache: verified working THROUGH the axon
+# relay (2026-08-19: a 29.4 s first compile replayed in 5.2 s from a
+# cold process) — kills in-window compile spikes (a cold pose-graph
+# E_pad bucket cost 10.6 s inside run 1's timed window) and makes
+# back-to-back bench runs comparable. SIVO_BENCH_NOCACHE=1 opts out
+# for cold-compile measurements.
+import os as _os_cache
+
+if not _os_cache.environ.get("SIVO_BENCH_NOCACHE"):
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp"
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.5
+    )
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,8 +129,20 @@ def _warm_loop_programs(system) -> None:
         )
     )
 
-    K_cap = 64
-    for E_pad in (256, 512):  # loopclosing pads edges to pow-2 buckets
+    # loopclosing pads K to pow-2 (min 64) and edges to pow-2 buckets;
+    # batch-mode maps (~8k points over 44 KFs) produce >512
+    # strong-covisibility edges, so 1024 must be warm too (a cold
+    # bucket = ~10 s compile inside lc.correct.graph). Endurance runs
+    # reach ~160 live KFs -> K_cap 256 with denser edge sets.
+    import os as _os_pg
+
+    _endur = int(_os_pg.environ.get("SIVO_BENCH_LAPS", "1")) > 1
+    pg_buckets = (
+        [(256, 1024), (256, 2048), (256, 4096)]
+        if _endur
+        else [(64, 256), (64, 512), (64, 1024)]
+    )
+    for K_cap, E_pad in pg_buckets:
         prob = pose_graph.PoseGraphProblem(
             s=jnp.ones(K_cap),
             R=jnp.tile(jnp.eye(3), (K_cap, 1, 1)),

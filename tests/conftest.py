@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite spends minutes re-compiling the
+# same big programs (segnet, BA solvers) every run on this 1-CPU host.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Covariance/optimizer math needs true fp32 matmuls everywhere
 # (TPU default matmul precision is bf16); the library also requests
 # HIGHEST per-op on its precision-critical paths.
