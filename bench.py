@@ -140,7 +140,11 @@ def _warm_loop_programs(system) -> None:
     pg_buckets = (
         [(256, 1024), (256, 2048), (256, 4096)]
         if _endur
-        else [(64, 256), (64, 512), (64, 1024)]
+        # (64, 2048): flagship runs cross 1024 edges on some relay
+        # timings (flag4 r4: a cold 2048 bucket cost 10.2 s INSIDE
+        # lc.correct.graph and wrecked the run) — one warm compile,
+        # persistent-cached thereafter
+        else [(64, 256), (64, 512), (64, 1024), (64, 2048)]
     )
     for K_cap, E_pad in pg_buckets:
         prob = pose_graph.PoseGraphProblem(
@@ -551,8 +555,15 @@ def main() -> None:
     def run_frame(i: int) -> None:
         build(i)
         f = built.pop(i)
-        build(i + 1)  # prefetch: frontend of i+1 overlaps tracking of i
-        system.track_frame(f, timestamp=i * 0.1, pipeline=True)
+        # prefetch frontend of i+1 via the pre_retire hook: it must
+        # enqueue AFTER frame i's tracking program (dispatching it
+        # first delayed every summary by the frontend's ~66 ms device
+        # time — r4 flag3: retire.wait median 74 ms at depth 3) while
+        # its host-side work still overlaps the retire wait
+        system.track_frame(
+            f, timestamp=i * 0.1, pipeline=True,
+            pre_retire=lambda: build(i + 1),
+        )
 
     # warmup: compile every program variant — continue until the
     # keyframe pipeline (mapping, triangulation, BA) has run twice
@@ -892,6 +903,8 @@ def main() -> None:
             "shutdown_drain_s": round(drain_s, 2),
             "tracking_only_fps": round(fps_tracking, 2),
             "crisis_frames": getattr(system, "crisis_frames", 0),
+            # (frame, trigger, tracked, prev_tracked) per crisis entry
+            "crisis_log": getattr(system, "crisis_log", [])[:64],
             "phase1_fetch_mb": round(
                 getattr(system.mapper, "fetch_bytes", 0) / 1e6, 1
             ),

@@ -145,10 +145,13 @@ def main(argv: list[str] | None = None) -> int:
     for i in range(len(seq)):
         build(i)
         f = built.pop(i)
-        build(i + 1)  # prefetch next frame's frontend
         t1 = time.time()
+        # prefetch next frame's frontend via pre_retire: its device
+        # program enqueues AFTER this frame's tracking step (see
+        # System.track_frame), its host work overlaps the retire wait
         system.track_frame(
-            f, float(seq.timestamps[i]), pipeline=not save_frames
+            f, float(seq.timestamps[i]), pipeline=not save_frames,
+            pre_retire=lambda: build(i + 1),
         )
         dt = time.time() - t1
         track_times.append(dt)

@@ -1188,11 +1188,13 @@ class LoopCloser:
         g = self._gba
         self._gba = None
         m = self.map
-        out = g["future"].result()
+        with self._stage("lc.gba_apply.fetch"):
+            out = g["future"].result()
         in_problem = np.zeros(m.max_keyframes, bool)
         in_problem[g["ctx"]["kfs"]] = True
         poses_old = g["poses_before"]
-        ba_build.apply_solution(m, tracker, g["ctx"], out)
+        with self._stage("lc.gba_apply.sol"):
+            ba_build.apply_solution(m, tracker, g["ctx"], out)
         # keyframes outside the problem (created during the solve, or
         # beyond the window): chain through the nearest corrected
         # ancestor, preserving the relative pose measured BEFORE
@@ -1257,14 +1259,15 @@ class LoopCloser:
                 + Mp[:, :3, 3]
             ).astype(np.float32)
         # push every live position to the device mirror in one program
-        cap = tracker.dmap.capacity
-        pad_ids = np.full(cap, -1, np.int32)
-        pad_ids[:n_pt] = np.arange(n_pt, dtype=np.int32)
-        pad_pos = np.zeros((cap, 3), np.float32)
-        pad_pos[:n_pt] = m.pt_pos[:n_pt]
-        tracker.dmap = device_map.set_positions(
-            tracker.dmap, jnp.asarray(pad_ids), jnp.asarray(pad_pos)
-        )
+        with self._stage("lc.gba_apply.dev"):
+            cap = tracker.dmap.capacity
+            pad_ids = np.full(cap, -1, np.int32)
+            pad_ids[:n_pt] = np.arange(n_pt, dtype=np.int32)
+            pad_pos = np.zeros((cap, 3), np.float32)
+            pad_pos[:n_pt] = m.pt_pos[:n_pt]
+            tracker.dmap = device_map.set_positions(
+                tracker.dmap, jnp.asarray(pad_ids), jnp.asarray(pad_pos)
+            )
         # re-anchor the tracker on its reference keyframe's correction
         ref = tracker.last_kf_id
         if ref >= 0 and ref < K_now:

@@ -193,7 +193,8 @@ class System:
         return self.track_frame(f, timestamp)
 
     def track_frame(
-        self, f, timestamp: float, pipeline: bool = False
+        self, f, timestamp: float, pipeline: bool = False,
+        pre_retire=None,
     ) -> Optional[np.ndarray]:
         """Track a pre-built Frame.
 
@@ -228,6 +229,15 @@ class System:
             with self.timer.stage("track.dispatch"):
                 self.tracker.dispatch(f, timestamp)
             self._advance_mapping()
+            # device-queue ordering: callers prefetching the NEXT
+            # frame's frontend must enqueue it AFTER this frame's
+            # tracking program — a frontend dispatched first delays the
+            # tracking summary (the host-policy gate) by its full ~66 ms
+            # device time (measured r4: wait median 74 ms at depth 3,
+            # ~the frontend cost + relay jitter). The hook runs here so
+            # its host-side work also overlaps the retire wait below.
+            if pre_retire is not None:
+                pre_retire()
             if pipeline:
                 # retire only once the queue exceeds the pipeline
                 # depth: the oldest summary has then had `depth` full
@@ -290,6 +300,19 @@ class System:
                     self.crisis_frames = (
                         getattr(self, "crisis_frames", 0) + 1
                     )
+                    # diagnosis trail (verdict r3 #6): which trigger,
+                    # at which frame, from what supply level
+                    cause = (
+                        "collapse" if collapse
+                        else ("lost" if trk < 32 else "floor")
+                    )
+                    if not hasattr(self, "crisis_log"):
+                        self.crisis_log = []
+                    if len(self.crisis_log) < 256:
+                        self.crisis_log.append(
+                            (self.tracker.frame_count - 1, cause,
+                             int(trk), int(prev_trk))
+                        )
                 depth = 0 if crisis else self.pipeline_depth
                 pose_prev = None
                 while self.tracker.inflight_count > depth:
