@@ -138,7 +138,10 @@ def _warm_loop_programs(system) -> None:
 
     _endur = int(_os_pg.environ.get("SIVO_BENCH_LAPS", "1")) > 1
     pg_buckets = (
-        [(256, 1024), (256, 2048), (256, 4096)]
+        # endurance maps can exceed 256 live KFs (448-slot store):
+        # warm the 512-KF pads the essential graph will select
+        [(256, 1024), (256, 2048), (256, 4096),
+         (512, 2048), (512, 4096)]
         if _endur
         # (64, 2048): flagship runs cross 1024 edges on some relay
         # timings (flag4 r4: a cold 2048 bucket cost 10.2 s INSIDE
@@ -245,8 +248,10 @@ def _warm_loop_programs(system) -> None:
     from sivo_tpu.optim import gba_cg
 
     endurance = int(_os_w.environ.get("SIVO_BENCH_LAPS", "1")) > 1
+    # endurance: warm MID+BIG+XL (the 448-KF/49k-pt dumbbell map fits
+    # XL; MAX only fires past 512 KFs, which no bench config reaches)
     buckets = (
-        lc.GBA_BUCKETS[:2] if endurance else lc.GBA_BUCKETS[:1]
+        lc.GBA_BUCKETS[:3] if endurance else lc.GBA_BUCKETS[:1]
     )
     for kf_b, pt_b, obs_b in buckets:
         cprob = local_ba.BAProblem(
@@ -418,7 +423,12 @@ def main() -> None:
     # compactions x 4.2 s); 1.5x capacity trades ~8% per-frame scan
     # traffic for ~5x fewer compactions
     system = System(
-        cfg=cfg, max_keyframes=256,
+        # 448 KF slots for endurance: the dumbbell figure-8 holds more
+        # live keyframes than the old ring (5 super-laps hit the hard
+        # 256 wall mid-run and the r4 first attempt crashed there);
+        # 448 pads to the SAME 512 pose-graph bucket a 257-KF map
+        # would, so headroom is free at the pose-graph level
+        cfg=cfg, max_keyframes=448 if laps > 1 else 256,
         max_points=49152 if laps > 1 else 32768,
         # depth 3: the ~110 ms relay RTT needs three frame periods of
         # slack before the retire wait disappears (measured: depth 2
@@ -859,6 +869,11 @@ def main() -> None:
                 **(
                     system.loop_closer.cap_binds
                     if system.loop_closer is not None else {}
+                ),
+                **(
+                    {"kf_cap_skips": system.tracker.kf_cap_skips}
+                    if getattr(system.tracker, "kf_cap_skips", 0)
+                    else {}
                 ),
             },
             "local_cap_binds": getattr(

@@ -1015,7 +1015,8 @@ class LoopCloser:
     # caps size the O(n_obs) gather/scatter passes per CG product)
     GBA_BUCKETS = (
         (64, 16384, 49152),  # MID: one-lap-scale maps
-        (256, 32768, 98304),  # BIG: endurance-scale maps
+        (256, 32768, 98304),  # BIG: single-ring endurance maps
+        (512, 49152, 196608),  # XL: dumbbell endurance (448-KF store)
         (2048, 131072, 393216),  # MAX: the System default capacity
     )
     O_CHUNK = 1024  # legacy chunked-Schur layout (tests still cover it)

@@ -420,6 +420,25 @@ class Tracker:
         self.last_cov = summary[ts.S_COV].reshape(6, 6).astype(np.float32)
 
         if self._need_new_keyframe(summary, fid):
+            if self.map.n_keyframes >= self.map.max_keyframes:
+                # hard keyframe capacity: SKIP the insertion instead of
+                # crashing — tracking continues against the existing
+                # map and the next compaction (which recycles culled
+                # slots) restores headroom. The reference has no cap
+                # (heap-allocated KeyFrames, Map.cc:103-121); a fixed-
+                # capacity store must shed here. Counted for the bench.
+                self.kf_cap_skips = getattr(self, "kf_cap_skips", 0) + 1
+                self.kf_created = None
+                self.trajectory.append(
+                    FrameRecord(
+                        pose=pose,
+                        rel_pose=self._rel_pose(pose),
+                        ref_kf=self.last_kf_id,
+                        timestamp=timestamp,
+                        frame_id=fid,
+                    )
+                )
+                return pose
             self._create_new_keyframe(
                 ticket.frame, ticket.result, timestamp, fid,
                 stale=stale, correction=ticket.correction,
