@@ -140,8 +140,11 @@ def _warm_loop_programs(system) -> None:
     pg_buckets = (
         # endurance maps can exceed 256 live KFs (448-slot store):
         # warm the 512-KF pads the essential graph will select
+        # (512, 8192): the 2050-frame dumbbell run built >4096
+        # essential-graph edges (8182 revisit edges) and paid a 10.2 s
+        # cold compile inside lc.correct.graph
         [(256, 1024), (256, 2048), (256, 4096),
-         (512, 2048), (512, 4096)]
+         (512, 2048), (512, 4096), (512, 8192)]
         if _endur
         # (64, 2048): flagship runs cross 1024 edges on some relay
         # timings (flag4 r4: a cold 2048 bucket cost 10.2 s INSIDE
