@@ -83,6 +83,13 @@ class SemanticConfig:
     # information-theoretic minimum — which real matching attrition
     # cannot survive)
     seq_min_select: int = 32
+    # conv compute dtype for the SegNet forward. The reference runs
+    # f32 on GPU (Caffe Net<float>, bayesian_segnet.cpp:59); on TPU the
+    # MXU is a bf16 engine and f32 convs pay a 3-pass penalty. The
+    # posterior math (softmax/mean/entropy) always stays f32
+    # (segnet.py), so only conv activations round — measured class
+    # agreement vs f32 forward: see PROGRESS notes r5.
+    cnn_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

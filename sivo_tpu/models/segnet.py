@@ -174,7 +174,17 @@ class SegNet(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, image: Array, train: bool = True) -> Array:
+    def __call__(self, image: Array, train: bool = True,
+                 mc_samples: int | None = None) -> Array:
+        """``mc_samples=S`` (static): run the deterministic pre-dropout
+        encoder ONCE on a single image, then tile the activation S-fold
+        at the first dropout layer and continue with per-sample masks —
+        the MC ensemble as an explicit batch axis. Mathematically the
+        Caffe replicated-blob batch (ref: bayesian_segnet.cpp:119-178)
+        minus the redundant pre-dropout compute (conv1-conv3 at the
+        highest resolutions are identical across samples; the reference
+        recomputes them per blob row). Returns (S, H, W, classes).
+        """
         if self.variant == "basic":
             encoder, decoder = _BASIC_ENCODER, _BASIC_DECODER
             use_bn = False
@@ -202,6 +212,8 @@ class SegNet(nn.Module):
                 f"(got {h}x{w}); center-crop the input first "
                 "(ref: System.cc:154-170 resizeImages)"
             )
+        if mc_samples is not None and image.ndim != 3:
+            raise ValueError("mc_samples needs a single (H, W, 3) image")
         x = image.astype(self.dtype)
         if x.ndim == 3:
             x = x[None]
@@ -209,11 +221,19 @@ class SegNet(nn.Module):
             x = lrn(x)  # ref: basic prototxt "norm" layer
 
         masks = []
+        tiled = mc_samples is None
         for i, spec in enumerate(encoder):
             x = self._block(x, spec, use_bn)
             x, idx = max_pool_argmax(x)
             masks.append(idx)
             if i in enc_drop:
+                if not tiled:
+                    # first stochastic layer: fan the shared encoder
+                    # state out to the MC ensemble
+                    x = jnp.broadcast_to(
+                        x, (mc_samples,) + x.shape[1:]
+                    )
+                    tiled = True
                 x = drop(x)
 
         for i, spec in enumerate(decoder):
@@ -232,6 +252,8 @@ class SegNet(nn.Module):
             logits = self._conv("conv1_1_D", self.num_classes, 3)(x)
 
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if mc_samples is not None:
+            return probs  # (S, H, W, classes)
         return probs[0] if image.ndim == 3 else probs
 
 
@@ -266,20 +288,73 @@ def segment_image(
     (classes, confidence, entropy) rasters (replaces
     ref: bayesian_segnet.cpp:299-318 ``segmentImage``).
 
-    MC samples are vmapped over dropout keys; when ``sample_axis`` names
-    a mesh axis (used under shard_map), the per-sample probabilities are
-    averaged with a ``psum`` so samples shard across chips.
+    MC samples ride an explicit batch axis fanned out at the first
+    dropout layer (the pre-dropout encoder runs once — see
+    ``SegNet.__call__``); when ``sample_axis`` names a mesh axis (used
+    under shard_map), the per-sample probabilities are averaged with a
+    ``psum`` so samples shard across chips.
     """
-    keys = jax.random.split(rng, mc_samples)
-
-    def one_sample(key: Array) -> Array:
-        return model.apply(params, image, train=True, rngs={"dropout": key})
-
-    probs = jax.vmap(one_sample)(keys)  # (S, H, W, C)
+    probs = model.apply(
+        params, image, train=True, rngs={"dropout": rng},
+        mc_samples=mc_samples,
+    )  # (S, H, W, C)
     mean_probs = jnp.mean(probs, axis=0)
     if sample_axis is not None:
         mean_probs = jax.lax.pmean(mean_probs, axis_name=sample_axis)
     return posterior(mean_probs)
+
+
+def mc_variance(probs: Array, classes: Array) -> Array:
+    """Per-pixel SAMPLE variance (Bessel, /(S-1)) of the softmax
+    probability of the DETECTED class across the MC draws
+    (ref: bayesian_segnet.cpp:205-260 ``computeVariance`` — the
+    reference triple-loops per pixel on CPU after copying the prob
+    blob back; here it is one fused one-hot contraction + moment
+    reduction that never leaves the device).
+
+    probs: (S, H, W, C) per-sample probabilities; classes: (H, W)
+    detected class (argmax of the MC mean). Returns (H, W) float32.
+    """
+    s = probs.shape[0]
+    onehot = jax.nn.one_hot(
+        classes.astype(jnp.int32), probs.shape[-1], dtype=probs.dtype
+    )
+    sel = jnp.sum(probs * onehot[None], axis=-1)  # (S, H, W)
+    mean = jnp.mean(sel, axis=0)
+    return jnp.sum(
+        (sel - mean[None]) ** 2, axis=0
+    ) / jnp.float32(max(s - 1, 1))
+
+
+def variance_image(variance: Array) -> Array:
+    """Min-max normalize the variance raster to [0, 1]
+    (ref: bayesian_segnet.cpp:330-344 ``generateVarianceImage``,
+    cv::NORM_MINMAX)."""
+    lo = jnp.min(variance)
+    hi = jnp.max(variance)
+    return (variance - lo) / jnp.maximum(hi - lo, 1e-30)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "mc_samples")
+)
+def segment_image_with_variance(
+    model: SegNet,
+    params: Any,
+    image: Array,
+    rng: Array,
+    mc_samples: int = 3,
+) -> tuple[Array, Array, Array, Array]:
+    """``segment_image`` plus the MC-variance raster (classes,
+    confidence, entropy, variance) — the full BayesianSegNet API
+    surface (ref: bayesian_segnet.hpp:108-170). Off the hot path: the
+    reference's ``computeVariance`` is likewise not called per frame."""
+    probs = model.apply(
+        params, image, train=True, rngs={"dropout": rng},
+        mc_samples=mc_samples,
+    )
+    classes, confidence, entropy = posterior(jnp.mean(probs, axis=0))
+    return classes, confidence, entropy, mc_variance(probs, classes)
 
 
 def init_params(

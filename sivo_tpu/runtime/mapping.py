@@ -29,9 +29,17 @@ from sivo_tpu.optim import local_ba
 from sivo_tpu.runtime import device_map
 from sivo_tpu.runtime.map_state import MapState
 
-MAX_BA_KF = 16
-MAX_BA_PT = 4096  # covisible-window points (recent-first beyond this)
-MAX_BA_OBS = 8192
+import os as _os
+
+# Local-BA window caps. The reference's window is data-sized
+# (Optimizer.cc:496-559, uncapped); fixed shapes need caps, and the r4
+# endurance run showed ba_kfs/ba_obs binding on ~10% of keyframes at
+# 448-KF scale. Env-overridable for cap A/B runs (VERDICT r4 #7).
+MAX_BA_KF = int(_os.environ.get("SIVO_MAX_BA_KF", "16"))
+MAX_BA_PT = int(
+    _os.environ.get("SIVO_MAX_BA_PT", "4096")
+)  # covisible-window points (recent-first beyond this)
+MAX_BA_OBS = int(_os.environ.get("SIVO_MAX_BA_OBS", "8192"))
 FUSE_NEIGHBORS = 10
 
 

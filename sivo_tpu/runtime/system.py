@@ -64,7 +64,11 @@ class System:
 
     def __post_init__(self):
         self.statics = frame_mod.make_statics(self.cfg)
-        self.model = segnet_mod.SegNet(variant=self.segnet_variant)
+        self.model = segnet_mod.SegNet(
+            variant=self.segnet_variant,
+            num_classes=self.cfg.semantic.num_classes,
+            dtype=jnp.dtype(self.cfg.semantic.cnn_dtype),
+        )
         if self.segnet_params is None:
             self.segnet_params = segnet_mod.init_params(
                 self.model,
@@ -309,9 +313,14 @@ class System:
                     if not hasattr(self, "crisis_log"):
                         self.crisis_log = []
                     if len(self.crisis_log) < 256:
+                        # attribute the entry to the frame whose
+                        # summary triggered it (retired up to
+                        # pipeline_depth before the frame just
+                        # dispatched, ADVICE r4)
                         self.crisis_log.append(
-                            (self.tracker.frame_count - 1, cause,
-                             int(trk), int(prev_trk))
+                            (getattr(self.tracker, "last_summary_fid",
+                                     self.tracker.frame_count - 1),
+                             cause, int(trk), int(prev_trk))
                         )
                 depth = 0 if crisis else self.pipeline_depth
                 pose_prev = None

@@ -101,6 +101,10 @@ S_SEL_TRUNC_BEST = 70  # best initial-cov score among candidates the
 #                        SEL_CAP index-order walk never reached (bits;
 #                        -inf when nothing truncated) — round-3 weak #7:
 #                        the cap bound 2/3 of frames unmeasured
+S_SEL_LAST_ACCEPT = 71  # walk index (0..SEL_CAP-1) of the LAST greedy
+#                         accept in sequential mode; -1 = none. The
+#                         measured ground for the "self-limits before
+#                         slot 512" SEL_CAP argument (VERDICT r4 #9).
 SUMMARY_LEN = 72
 
 
@@ -689,10 +693,12 @@ def track_step(
         # noise 0.01·I per frame, sivo_helpers.cpp:242-266) is the
         # uncertainty the new keyframe's features must resolve, and
         # self-limits at a useful budget (~tens of points/KF).
-        sel_mask, _ = info_ops.sequential_selection_stereo(
-            cov_pred, xc_kp, sigma2, frame.sem_entropy, candidate,
-            th_entropy, cam.fx, cam.fy, cam.bf / cam.fx,
-            min_select=seq_min_select,
+        sel_mask, _, sel_last_accept = (
+            info_ops.sequential_selection_stereo(
+                cov_pred, xc_kp, sigma2, frame.sem_entropy, candidate,
+                th_entropy, cam.fx, cam.fy, cam.bf / cam.fx,
+                min_select=seq_min_select,
+            )
         )
         # supply floor, unconditionally: the scan's internal floor
         # accepts only POSITIVE-information candidates, and once the
@@ -826,6 +832,7 @@ def track_step(
         summary = summary.at[S_SEL_TRUNC_BEST].set(
             jnp.max(jnp.where(truncated, scores0, -jnp.inf))
         )
+        summary = summary.at[S_SEL_LAST_ACCEPT].set(sel_last_accept)
     summary = summary.at[S_ROT_DEV].set(rot_dev1)
     summary = summary.at[S_ROT_DEV_S1].set(rot_dev_s1)
     summary = summary.at[S_N_SELECTED].set(

@@ -87,7 +87,7 @@ def _init_selection(
     sigma2 = scale_factor ** (2.0 * frame.level.astype(jnp.float32))
     candidate = frame.semantic & (frame.depth > 0)
     if sequential_sel:
-        sel, _ = info_ops.sequential_selection_stereo(
+        sel, _, _ = info_ops.sequential_selection_stereo(
             cov, xc, sigma2, frame.sem_entropy, candidate,
             jnp.float32(0.0), cam.fx, cam.fy, cam.bf / cam.fx,
         )
@@ -347,6 +347,10 @@ class Tracker:
         else:
             summary = ticket.summary_future.result()
         self.last_summary = summary  # debug/introspection
+        # the frame this summary belongs to — consumers (crisis log)
+        # must not assume it is the latest dispatched frame, which is
+        # up to pipeline_depth ahead (ADVICE r4)
+        self.last_summary_fid = ticket.frame_id
         fid, timestamp = ticket.frame_id, ticket.timestamp
         import os
 
@@ -367,6 +371,15 @@ class Tracker:
                 flush=True,
             )
 
+        # accept-index histogram for sequential selection (VERDICT r4
+        # #9): 16 bins over the SEL_CAP walk — measures where greedy
+        # accepts actually stop, grounding the keep-512 argument
+        last_acc = float(summary[ts.S_SEL_LAST_ACCEPT])
+        if last_acc >= 0:
+            if not hasattr(self, "sel_last_accept_hist"):
+                self.sel_last_accept_hist = [0] * 16
+            b = min(int(last_acc) * 16 // info_ops.SEL_CAP, 15)
+            self.sel_last_accept_hist[b] += 1
         if summary[ts.S_SEL_CAP_BIND] > 0.5:
             self.sel_cap_binds = getattr(self, "sel_cap_binds", 0) + 1
             # truncation audit (round-3 weak #7): how many candidates
@@ -419,26 +432,22 @@ class Tracker:
         self.last_pose = pose
         self.last_cov = summary[ts.S_COV].reshape(6, 6).astype(np.float32)
 
-        if self._need_new_keyframe(summary, fid):
-            if self.map.n_keyframes >= self.map.max_keyframes:
-                # hard keyframe capacity: SKIP the insertion instead of
-                # crashing — tracking continues against the existing
-                # map and the next compaction (which recycles culled
-                # slots) restores headroom. The reference has no cap
-                # (heap-allocated KeyFrames, Map.cc:103-121); a fixed-
-                # capacity store must shed here. Counted for the bench.
+        want_kf = self._need_new_keyframe(summary, fid)
+        if want_kf and self.map.n_keyframes >= self.map.max_keyframes:
+            # hard keyframe capacity: SKIP the insertion instead of
+            # crashing — tracking continues against the existing map
+            # and the next compaction (which recycles culled slots)
+            # restores headroom; the decision deliberately re-fires
+            # each frame so a keyframe lands the moment a slot frees.
+            # The reference has no cap (heap-allocated KeyFrames,
+            # Map.cc:103-121); a fixed-capacity store must shed here.
+            # kf_cap_skips counts distinct shed EVENTS (deduped while
+            # the request re-fires back-to-back), per ADVICE r4.
+            if getattr(self, "_kf_cap_skip_prev_fid", -2) != fid - 1:
                 self.kf_cap_skips = getattr(self, "kf_cap_skips", 0) + 1
-                self.kf_created = None
-                self.trajectory.append(
-                    FrameRecord(
-                        pose=pose,
-                        rel_pose=self._rel_pose(pose),
-                        ref_kf=self.last_kf_id,
-                        timestamp=timestamp,
-                        frame_id=fid,
-                    )
-                )
-                return pose
+            self._kf_cap_skip_prev_fid = fid
+            self.kf_created = None
+        elif want_kf:
             self._create_new_keyframe(
                 ticket.frame, ticket.result, timestamp, fid,
                 stale=stale, correction=ticket.correction,

@@ -338,7 +338,14 @@ def sequential_selection_stereo(
     sel = jnp.zeros(n + 1, bool).at[jnp.where(sel_c, comp, n)].set(
         True, mode="drop"
     )[:n]
-    return sel, cov_f
+    # where in the walk the greedy accepts actually stop — evidence
+    # for/against the SEL_CAP truncation argument (VERDICT r4 weak #7:
+    # "self-limits before slot 512" was asserted from theory). -1 when
+    # nothing accepted.
+    last_accept = jnp.max(
+        jnp.where(sel_c, jnp.arange(sel_c.shape[0]), -1)
+    ).astype(jnp.float32)
+    return sel, cov_f, last_accept
 
 
 def propagate_covariance_motion(

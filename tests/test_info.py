@@ -218,7 +218,7 @@ def test_sequential_selection_matches_oracle():
         batch_sel[i] = mi - ent[i] > th
     assert sel_ref.sum() < batch_sel.sum()
 
-    sel, S_f = info.sequential_selection_stereo(
+    sel, S_f, _ = info.sequential_selection_stereo(
         jnp.asarray(S0, jnp.float32),
         jnp.asarray(pts, jnp.float32),
         jnp.asarray(sigma2, jnp.float32),

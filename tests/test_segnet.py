@@ -120,3 +120,45 @@ def test_segment_image_full_geometry_runs():
     )
     assert classes.shape == (352, 1024)
     assert ent.shape == (352, 1024)
+
+
+def test_mc_variance_matches_numpy_oracle():
+    # ref: bayesian_segnet.cpp:205-260 — SAMPLE variance (/(S-1)) of
+    # the detected class's probability across the MC draws
+    rng = np.random.default_rng(11)
+    S, h, w, C = 4, 6, 8, 15
+    probs = rng.dirichlet(np.ones(C), size=(S, h, w)).astype(np.float32)
+    classes = np.argmax(probs.mean(axis=0), axis=-1).astype(np.uint8)
+    got = np.asarray(
+        segnet.mc_variance(jnp.asarray(probs), jnp.asarray(classes))
+    )
+    want = np.empty((h, w))
+    for j in range(h):
+        for k in range(w):
+            v = probs[:, j, k, classes[j, k]].astype(np.float64)
+            want[j, k] = ((v - v.mean()) ** 2).sum() / (S - 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_variance_image_minmax_normalizes():
+    # ref: bayesian_segnet.cpp:330-344 — cv::NORM_MINMAX to [0, 1]
+    v = jnp.asarray([[0.5, 1.5], [2.5, 0.5]])
+    img = np.asarray(segnet.variance_image(v))
+    assert img.min() == 0.0 and img.max() == 1.0
+    np.testing.assert_allclose(img, [[0.0, 0.5], [1.0, 0.0]])
+
+
+def test_segment_image_with_variance_shapes():
+    model = segnet.SegNet(variant="basic")
+    params = segnet.init_params(model, jax.random.key(0), H, W)
+    img = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 255, size=(H, W, 3)),
+        jnp.float32,
+    )
+    cls, conf, ent, var = segnet.segment_image_with_variance(
+        model, params, img, jax.random.key(7), mc_samples=3
+    )
+    assert var.shape == (H, W)
+    assert float(var.min()) >= 0.0
+    # MC dropout must produce nonzero posterior variance somewhere
+    assert float(var.max()) > 0.0

@@ -25,7 +25,7 @@ def main() -> None:
     cache = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else "/tmp/sivo_bench_render_circuit-v11lap-160-1024x352.npz"
+        else "/tmp/sivo_bench_render_circuit-v11-190-1024x352.npz"
     )
     out = (
         sys.argv[2]
