@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
             system.model, system.segnet_params, system.statics,
             _jnp.asarray(left), _jnp.asarray(right), key,
             sem_override=sem_override,
+            # the posterior source is fixed for the whole run: with
+            # --no-semantics let XLA drop the CNN from the compiled
+            # program (3 discarded MC passes otherwise run per frame)
+            use_cnn_static=None if sem_override is None else False,
         )
 
     if save_frames:

@@ -26,16 +26,31 @@ class KittiSequence:
     def read(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """Returns (left BGR (H, W, 3) float32, right gray (H, W)
         float32), center-cropped is the caller's job (System.cc:154-170
-        resizeImages)."""
-        import cv2
+        resizeImages). Decodes via OpenCV when available (reference
+        parity: cv::imread, sivo.cc:86-88), else Pillow — converted to
+        the same BGR channel order and ITU-R gray the reference sees."""
+        try:
+            import cv2
 
-        left = cv2.imread(self.left_paths[i], cv2.IMREAD_COLOR)
-        right = cv2.imread(self.right_paths[i], cv2.IMREAD_GRAYSCALE)
-        if left is None or right is None:
-            raise FileNotFoundError(
-                f"frame {i}: {self.left_paths[i]} / {self.right_paths[i]}"
+            left = cv2.imread(self.left_paths[i], cv2.IMREAD_COLOR)
+            right = cv2.imread(self.right_paths[i], cv2.IMREAD_GRAYSCALE)
+            if left is None or right is None:
+                raise FileNotFoundError(
+                    f"frame {i}: {self.left_paths[i]} / "
+                    f"{self.right_paths[i]}"
+                )
+            return left.astype(np.float32), right.astype(np.float32)
+        except ImportError:
+            from PIL import Image
+
+            left_rgb = np.asarray(
+                Image.open(self.left_paths[i]).convert("RGB"),
+                np.float32,
             )
-        return left.astype(np.float32), right.astype(np.float32)
+            right = np.asarray(
+                Image.open(self.right_paths[i]).convert("L"), np.float32
+            )
+            return left_rgb[:, :, ::-1].copy(), right
 
 
 def load_sequence(seq_dir: str) -> KittiSequence:
