@@ -519,7 +519,11 @@ def main() -> None:
         conf_dev, ent_dev = synthetic.structured_semantics_device(
             cls_dev, field_dev
         )
-        return frame_mod.build_frame(
+        # PRE half only: the Mosaic ORB kernels live in the separate
+        # build_frame_post program so their canvas operands cross a
+        # program boundary (embedded-Mosaic HBM-operand penalty,
+        # ~27 ms/kernel — frame.py build_frame docstring)
+        return frame_mod.frontend_pre(
             system.model, params, system.statics,
             left_dev, right_dev, key,
             sem_override=(cls_dev, conf_dev, ent_dev, use_cnn),
@@ -547,11 +551,12 @@ def main() -> None:
         for j in (i, i + 1, i + 2):
             _ensure_upload(j)
         with system.timer.stage("build_frame"):
-            built[i] = build_packed(
+            pre = build_packed(
                 system.segnet_params,
                 uploads.pop(i).result(),
                 jax.random.key(i),
             )
+            built[i] = frame_mod.build_frame_post(system.statics, pre)
 
     # vocabulary: prefer the OFFLINE vocabulary trained on imagery
     # disjoint from this bench sequence (tools/train_offline_vocab.py,

@@ -238,40 +238,52 @@ def compute_descriptors(
     return bits, packed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "budgets", "max_keypoints", "ini_th", "min_th"),
-)
-def extract(
+def use_pallas_orb(max_keypoints: int) -> bool:
+    from sivo_tpu.ops import pallas_orb
+
+    return max_keypoints % pallas_orb.BK == 0 and pallas_orb.use_pallas()
+
+
+def extract_select(
     raw_canvas: jnp.ndarray,
-    blur_canvas: jnp.ndarray,
     valid_region: jnp.ndarray,
     spec: PyramidSpec,
     budgets: tuple[int, ...],
     max_keypoints: int = 2048,
     ini_th: float = 20.0,
     min_th: float = 7.0,
-) -> Keypoints:
-    """Full ORB extraction over the stacked pyramid: one program
-    replacing ORBextractor::operator() (ref: ORBextractor.cc:1019-1083).
-
-    Keypoint xy is reported in level-0 pixel coordinates
-    (level coords * scale, ref: ORBextractor.cc:1071-1078).
-    """
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detection half of extract(): FAST + spatially-uniform selection.
+    Returns (xy_level, level, score, valid)."""
     from sivo_tpu.ops import fast as fast_ops
 
     score_map = fast_ops.detect(
         raw_canvas, valid_region, ini_threshold=ini_th, min_threshold=min_th
     )
-    xy_level, level, score, valid = select_keypoints(
-        score_map, spec, budgets, max_keypoints
-    )
+    return select_keypoints(score_map, spec, budgets, max_keypoints)
+
+
+def extract_describe(
+    raw_canvas: jnp.ndarray,
+    blur_canvas: jnp.ndarray,
+    spec: PyramidSpec,
+    xy_level: jnp.ndarray,
+    level: jnp.ndarray,
+    score: jnp.ndarray,
+    valid: jnp.ndarray,
+    prep: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+) -> Keypoints:
+    """Description half of extract(): IC-angle + rBRIEF + Keypoints
+    assembly. ``prep`` = pallas_orb.prepare() outputs computed in an
+    EARLIER program — required for the Mosaic path on the hot path
+    (embedded-call penalty, see ops/pallas_orb.prepare); when None the
+    path is chosen here (XLA gathers, or an inline prepare for
+    standalone/test use)."""
     from sivo_tpu.ops import pallas_orb
 
-    if max_keypoints % pallas_orb.BK == 0 and pallas_orb.use_pallas():
-        # fused DMA-pipelined orientation + descriptors (the XLA
-        # gathers below are latency-bound: ~15 ms of the 28 ms
-        # per-image frontend; see ops/pallas_orb.py)
+    if prep is not None:
+        angle, bits, packed = pallas_orb.describe_prepared(*prep)
+    elif use_pallas_orb(xy_level.shape[0]):
         angle, bits, packed = pallas_orb.orient_and_describe(
             raw_canvas, blur_canvas, level, xy_level
         )
@@ -291,4 +303,33 @@ def extract(
         desc_bits=bits * valid[:, None].astype(jnp.float32),
         desc_u8=packed * valid[:, None].astype(jnp.uint8),
         valid=valid,
+    )
+
+
+def extract(
+    raw_canvas: jnp.ndarray,
+    blur_canvas: jnp.ndarray,
+    valid_region: jnp.ndarray,
+    spec: PyramidSpec,
+    budgets: tuple[int, ...],
+    max_keypoints: int = 2048,
+    ini_th: float = 20.0,
+    min_th: float = 7.0,
+) -> Keypoints:
+    """Full ORB extraction over the stacked pyramid as one traced
+    computation, replacing ORBextractor::operator()
+    (ref: ORBextractor.cc:1019-1083). Keypoint xy is reported in
+    level-0 pixel coordinates (level coords * scale,
+    ref: ORBextractor.cc:1071-1078).
+
+    The frame hot path uses extract_select()/extract_describe() across
+    TWO dispatched programs instead (the Mosaic descriptor kernel pays
+    ~27 ms when its canvas operands are intermediates of the same
+    program — ops/pallas_orb.prepare)."""
+    xy_level, level, score, valid = extract_select(
+        raw_canvas, valid_region, spec, budgets, max_keypoints,
+        ini_th, min_th,
+    )
+    return extract_describe(
+        raw_canvas, blur_canvas, spec, xy_level, level, score, valid
     )

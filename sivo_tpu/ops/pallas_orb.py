@@ -238,21 +238,19 @@ def _pad_canvas_u8(canvas: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(u8, ((0, 0), (0, h_pad), (0, max(w_pad, 0))))
 
 
-def orient_and_describe(
+def prepare(
     raw_canvas: jnp.ndarray,
     blur_canvas: jnp.ndarray,
     level: jnp.ndarray,  # (N,) int32
     xy_level: jnp.ndarray,  # (N, 2) float level coords
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(angle (N,), bits (N, 256) f32, packed (N, 32) u8) — the fused
-    IC-angle + rBRIEF path. Valid keypoints sit >= the detection margin
-    from level edges (ops/image.level_valid_mask); invalid slots carry
-    xy = -1, clamped into bounds (their outputs are masked by the
-    caller)."""
-    n = xy_level.shape[0]
-    assert n % BK == 0
-    raw_u8 = _pad_canvas_u8(raw_canvas)
-    blur_u8 = _pad_canvas_u8(blur_canvas)
+    """The XLA half: pad/convert the canvases to u8 and clamp the
+    keypoint coords. MUST run in a SEPARATE program from the kernel:
+    on this backend a Mosaic call whose HBM-space operands are
+    in-program INTERMEDIATES pays ~27 ms (one relay RTT — measured
+    r5; operands arriving as program inputs are free). The frontend
+    therefore dispatches prepare() inside its pre program and
+    describe_prepared() in the program that follows."""
     xy = xy_level.astype(jnp.int32)
     ymax = raw_canvas.shape[1] - BRIEF_MARGIN - 1
     xmax = raw_canvas.shape[2] - BRIEF_MARGIN - 1
@@ -264,6 +262,20 @@ def orient_and_describe(
         ],
         axis=0,
     )
+    return _pad_canvas_u8(raw_canvas), _pad_canvas_u8(blur_canvas), coords
+
+
+def describe_prepared(
+    raw_u8: jnp.ndarray,
+    blur_u8: jnp.ndarray,
+    coords: jnp.ndarray,  # (3, N) int32 from prepare()
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The kernel half of orient_and_describe: (angle, bits, packed)
+    from prepare()'s outputs. The XLA epilogue (atan2, bit packing) is
+    free in the same program (measured: only HBM operands flowing INTO
+    the kernel trigger the embedded-call penalty)."""
+    n = coords.shape[1]
+    assert n % BK == 0
     interpret = jax.default_backend() == "cpu"
     bits, mom = _call(raw_u8, blur_u8, coords, interpret)
     angle = jnp.arctan2(mom[:, 0], mom[:, 1])
@@ -271,3 +283,23 @@ def orient_and_describe(
     weights = (2 ** jnp.arange(8, dtype=jnp.int32))[None, None, :]
     packed = jnp.sum(b8 * weights, axis=-1).astype(jnp.uint8)
     return angle, bits, packed
+
+
+def orient_and_describe(
+    raw_canvas: jnp.ndarray,
+    blur_canvas: jnp.ndarray,
+    level: jnp.ndarray,  # (N,) int32
+    xy_level: jnp.ndarray,  # (N, 2) float level coords
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(angle (N,), bits (N, 256) f32, packed (N, 32) u8) — the fused
+    IC-angle + rBRIEF path as ONE traced computation. Valid keypoints
+    sit >= the detection margin from level edges
+    (ops/image.level_valid_mask); invalid slots carry xy = -1, clamped
+    into bounds (their outputs are masked by the caller).
+
+    NOTE: composing this inside a larger jitted program pays the
+    embedded-Mosaic penalty (see prepare()); the hot path splits via
+    prepare()/describe_prepared() instead."""
+    return describe_prepared(
+        *prepare(raw_canvas, blur_canvas, level, xy_level)
+    )

@@ -105,36 +105,41 @@ def _extract_keypoints(
     return kps, blur
 
 
-@functools.partial(
-    jax.jit, static_argnames=("model", "statics", "use_cnn_static")
-)
-def build_frame(
+class PreFrame(NamedTuple):
+    """Device-resident output of the frontend PRE program: everything
+    the descriptor/stereo program needs, materialized as PROGRAM
+    OUTPUTS so the Mosaic ORB kernel's canvas operands arrive as
+    program INPUTS in the next dispatch (embedded-Mosaic HBM-operand
+    penalty, ~27 ms per call otherwise — see ops/pallas_orb.prepare)."""
+
+    raw_l: jnp.ndarray  # (L, Hc, Wc) float canvases
+    blur_l: jnp.ndarray
+    raw_r: jnp.ndarray
+    blur_r: jnp.ndarray
+    # pallas_orb.prepare outputs per image, or None (XLA path)
+    prep_l: tuple | None
+    prep_r: tuple | None
+    sel_l: tuple  # (xy_level, level, score, valid)
+    sel_r: tuple
+    classes: jnp.ndarray
+    confidence: jnp.ndarray
+    entropy: jnp.ndarray
+
+
+def frontend_pre(
     model: segnet_mod.SegNet,
     params: Any,
     statics: FrontendStatics,
-    img_left_color: jnp.ndarray,  # (H, W, 3) float 0..255 (BGR order)
-    img_right_gray: jnp.ndarray,  # (H, W) float
+    img_left_color: jnp.ndarray,
+    img_right_gray: jnp.ndarray,
     rng: jnp.ndarray,
-    sem_override: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
-    | None = None,
+    sem_override=None,
     use_cnn_static: bool | None = None,
-) -> Frame:
-    """The per-frame hot path (ref call stack: SURVEY §3.2).
-
-    ``sem_override``: optional (classes, confidence, entropy, use_cnn)
-    — the provided rasters replace the CNN posterior when use_cnn is
-    False (benchmarking with renderer semantics when no trained
-    weights exist). ``use_cnn_static``: when the choice is fixed for
-    the whole run, pass it HERE (static) — False drops the CNN from
-    the compiled program entirely (measured: 69.3 -> ~42 ms of
-    per-frame device time, three discarded MC-dropout passes were
-    running just to feed a jnp.where); None keeps the traced
-    ``sem_override[3]`` runtime select.
-    """
-    # accept uint8 uploads (4x less host->device traffic; the link is
-    # the bottleneck) and promote on device; a (H, W) left image is
-    # broadcast to 3 channels on device (KITTI grayscale cameras —
-    # same CNN compute, a third of the upload bytes)
+) -> PreFrame:
+    """XLA half of the frame frontend: semantics (CNN), both pyramids,
+    FAST, keypoint selection, canvas pad/convert + coord clamping.
+    Traceable — callers may fold extra work (e.g. the bench's packed-u8
+    unpack) into the same program."""
     img_left_color = img_left_color.astype(jnp.float32)
     if img_left_color.ndim == 2:
         img_left_color = jnp.repeat(
@@ -151,10 +156,6 @@ def build_frame(
         )
     if sem_override is not None:
         o_cls, o_conf, o_ent, use_cnn = sem_override
-        # quantized uploads welcome: confidence as uint8 (x1/255),
-        # entropy as uint8 (x1/32, range 0..8 bits, 0.03-bit step) or
-        # float16 — the host->device link is the per-frame bottleneck
-        # and full-f32 rasters are 4x the bytes
         if o_conf.dtype == jnp.uint8:
             o_conf = o_conf.astype(jnp.float32) * (1.0 / 255.0)
         if o_ent.dtype == jnp.uint8:
@@ -174,23 +175,60 @@ def build_frame(
                 use_cnn, entropy, o_ent.astype(jnp.float32)
             )
 
-    # 2. ORB on both images (ref: Frame.cc:126-129, two CPU threads)
+    # 2. pyramids + FAST + selection for both images
+    #    (ref: Frame.cc:126-129, two CPU threads)
     gray_l = image_ops.bgr_to_gray(img_left_color)
-    kps_l, blur_l = _extract_keypoints(gray_l, statics)
-    kps_r, blur_r = _extract_keypoints(img_right_gray, statics)
+    valid_region = image_ops.level_valid_mask(statics.spec, margin=16)
+    from sivo_tpu.ops import pallas_orb
 
-    # 3. semantic gating of left keypoints (ref: Frame.cc:177-203)
+    use_k = orb_ops.use_pallas_orb(statics.max_keypoints)
+
+    def one(gray):
+        raw, blur = image_ops.build_pyramid(gray, statics.spec)
+        sel = orb_ops.extract_select(
+            raw, valid_region, statics.spec, statics.budgets,
+            statics.max_keypoints, statics.ini_th, statics.min_th,
+        )
+        prep = (
+            pallas_orb.prepare(raw, blur, sel[1], sel[0])
+            if use_k else None
+        )
+        return raw, blur, sel, prep
+
+    raw_l, blur_l, sel_l, prep_l = one(gray_l)
+    raw_r, blur_r, sel_r, prep_r = one(img_right_gray)
+    return PreFrame(
+        raw_l=raw_l, blur_l=blur_l, raw_r=raw_r, blur_r=blur_r,
+        prep_l=prep_l, prep_r=prep_r, sel_l=sel_l, sel_r=sel_r,
+        classes=classes, confidence=confidence, entropy=entropy,
+    )
+
+
+def frontend_post(
+    statics: FrontendStatics, pre: PreFrame
+) -> Frame:
+    """Second frame program: ORB description (Mosaic kernels — their
+    canvas operands are this program's INPUTS), semantic gating, stereo
+    matching, Frame assembly."""
+    kps_l = orb_ops.extract_describe(
+        pre.raw_l, pre.blur_l, statics.spec, *pre.sel_l, prep=pre.prep_l
+    )
+    kps_r = orb_ops.extract_describe(
+        pre.raw_r, pre.blur_r, statics.spec, *pre.sel_r, prep=pre.prep_r
+    )
+
+    # semantic gating of left keypoints (ref: Frame.cc:177-203)
     sem_class, sem_conf, sem_ent = semantic_ops.sample_rasters(
-        classes, confidence, entropy, kps_l.xy
+        pre.classes, pre.confidence, pre.entropy, kps_l.xy
     )
     semantic = kps_l.valid & semantic_ops.static_class_mask(sem_class)
 
-    # 4. stereo matching on the semantic set vs all right keypoints
-    #    (ref: Frame.cc:144 — ComputeStereoMatches runs after
-    #    SelectSemanticKeys, on the filtered left set)
+    # stereo matching on the semantic set vs all right keypoints
+    # (ref: Frame.cc:144 — ComputeStereoMatches runs after
+    # SelectSemanticKeys, on the filtered left set)
     left_sem = kps_l._replace(valid=semantic)
     matches = stereo_ops.match(
-        left_sem, kps_r, blur_l, blur_r, statics.spec,
+        left_sem, kps_r, pre.blur_l, pre.blur_r, statics.spec,
         statics.fx, statics.bf,
     )
 
@@ -207,10 +245,59 @@ def build_frame(
         sem_entropy=sem_ent,
         valid=kps_l.valid,
         semantic=semantic,
-        classes_raster=classes,
-        confidence_raster=confidence,
-        entropy_raster=entropy,
+        classes_raster=pre.classes,
+        confidence_raster=pre.confidence,
+        entropy_raster=pre.entropy,
     )
+
+
+build_frame_pre = functools.partial(
+    jax.jit, static_argnames=("model", "statics", "use_cnn_static")
+)(frontend_pre)
+build_frame_post = functools.partial(
+    jax.jit, static_argnames=("statics",)
+)(frontend_post)
+
+
+def build_frame(
+    model: segnet_mod.SegNet,
+    params: Any,
+    statics: FrontendStatics,
+    img_left_color: jnp.ndarray,  # (H, W, 3) float 0..255 (BGR order)
+    img_right_gray: jnp.ndarray,  # (H, W) float
+    rng: jnp.ndarray,
+    sem_override: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    | None = None,
+    use_cnn_static: bool | None = None,
+) -> Frame:
+    """The per-frame hot path (ref call stack: SURVEY §3.2), dispatched
+    as TWO programs (pre: CNN/pyramids/FAST/select; post: Mosaic ORB
+    kernels + stereo + assembly). The split is a hardware rule, not a
+    style choice: a Mosaic kernel whose HBM operands are computed in
+    the SAME program pays ~27 ms each on this backend (2 kernels =
+    ~54 ms/frame, measured r5); operands crossing a program boundary
+    are free, and the extra dispatch is ~2.6 ms of overlappable host
+    time.
+
+    ``sem_override``: optional (classes, confidence, entropy, use_cnn)
+    — the provided rasters replace the CNN posterior when use_cnn is
+    False (benchmarking with renderer semantics when no trained
+    weights exist). Quantized rasters welcome: confidence uint8
+    (x1/255), entropy uint8 (x1/32) — host->device bytes are the frame
+    loop's bottleneck. ``use_cnn_static``: when the choice is fixed
+    for the whole run, pass it HERE (static) — False drops the CNN
+    from the compiled program entirely; None keeps the traced
+    ``sem_override[3]`` runtime select.
+
+    Accepts uint8 uploads (4x less host->device traffic); a (H, W)
+    left image is broadcast to 3 channels on device (KITTI grayscale
+    cameras — same CNN compute, a third of the upload bytes).
+    """
+    pre = build_frame_pre(
+        model, params, statics, img_left_color, img_right_gray, rng,
+        sem_override, use_cnn_static,
+    )
+    return build_frame_post(statics, pre)
 
 
 @functools.partial(jax.jit, static_argnames=("statics",))
