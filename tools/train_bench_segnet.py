@@ -16,7 +16,15 @@ Usage: PYTHONPATH=/root/repo python tools/train_bench_segnet.py \
            [render_cache.npz] [out.caffemodel]
 """
 
+import os as _os
 import sys
+
+# runnable as a bare subprocess (bench.py self-trains on first CNN-mode
+# run): the script lives in tools/, so the repo root is not on sys.path
+# unless the caller exported PYTHONPATH — add it ourselves.
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import numpy as np
 
